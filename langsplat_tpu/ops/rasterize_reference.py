@@ -81,6 +81,7 @@ def rasterize_dense(
     *,
     image_height: int,
     image_width: int,
+    tile_size: int | None = None,
 ) -> dict:
     """Render RGB [3,H,W] (+ language feature image [F,H,W]) from preprocessed Gaussians.
 
@@ -89,6 +90,9 @@ def rasterize_dense(
       opacities: [N] activated opacities.
       features: optional [N, F] L2-normalized language features.
       bg: [3] background color (RGB only).
+      tile_size: when given, reproduce the tile-binned contribution footprint exactly — a
+        Gaussian contributes at a pixel iff its tile rect covers the pixel's tile (the CUDA
+        semantics; alpha tails beyond the rect are cut). When None, evaluate everywhere.
     """
     n = prep.means2d.shape[0]
     order = jnp.argsort(jnp.where(prep.visible, prep.depths, jnp.inf))
@@ -103,6 +107,14 @@ def rasterize_dense(
     pix_y, pix_x = jnp.meshgrid(ys, xs, indexing="ij")
 
     alphas = compute_alphas(means2d, conics, opac, pix_x, pix_y, valid)  # [N, H, W]
+    if tile_size is not None:
+        ptx = (pix_x / tile_size).astype(jnp.int32)[None]
+        pty = (pix_y / tile_size).astype(jnp.int32)[None]
+        tmin = prep.tiles_min[order]
+        tmax = prep.tiles_max[order]
+        in_rect = ((ptx >= tmin[:, 0, None, None]) & (ptx < tmax[:, 0, None, None])
+                   & (pty >= tmin[:, 1, None, None]) & (pty < tmax[:, 1, None, None]))
+        alphas = jnp.where(in_rect, alphas, 0.0)
     weights, t_final = blend_weights(alphas)
 
     image = jnp.einsum("nhw,nc->chw", weights, colors) + t_final[None] * bg[:, None, None]

@@ -1,0 +1,122 @@
+"""Binning correctness vs brute force, and tiled-vs-dense renderer parity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from langsplat_tpu.ops import projection
+from langsplat_tpu.ops.rasterize_reference import rasterize_dense
+from langsplat_tpu.ops.rasterize_tiled import rasterize_tiled
+from langsplat_tpu.ops.tiles import bin_gaussians
+
+from tests.test_projection_and_dense import make_camera, run_preprocess
+
+
+def random_scene(n, seed=0, spread=2.0):
+    rng = np.random.default_rng(seed)
+    means = np.concatenate([rng.uniform(-spread, spread, (n, 2)),
+                            rng.uniform(3, 9, (n, 1))], axis=1).astype(np.float32)
+    scales = np.exp(rng.uniform(np.log(0.05), np.log(0.5), (n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, n).astype(np.float32)
+    feats = rng.normal(size=(n, 3)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    return means, scales, quats, colors, opac, feats
+
+
+def test_binning_matches_bruteforce():
+    cam = make_camera(w=64, h=48)
+    means, scales, quats, colors, opac, feats = random_scene(50, seed=1)
+    ts = 16
+    prep = run_preprocess(means, scales, quats, colors, cam, tile_size=ts)
+    gx, gy = (64 + ts - 1) // ts, (48 + ts - 1) // ts
+    inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=4096,
+                         max_tiles_per_gaussian=64)
+    assert int(inst.dropped) == 0
+
+    tmin = np.asarray(prep.tiles_min)
+    tmax = np.asarray(prep.tiles_max)
+    vis = np.asarray(prep.visible)
+    depths = np.asarray(prep.depths)
+    start = np.asarray(inst.tile_start)
+    gid = np.asarray(inst.gauss_id)
+
+    for t in range(gx * gy):
+        ty, tx = divmod(t, gx)
+        expected = [i for i in range(50) if vis[i]
+                    and tmin[i, 0] <= tx < tmax[i, 0] and tmin[i, 1] <= ty < tmax[i, 1]]
+        expected.sort(key=lambda i: depths[i])
+        got = list(gid[start[t]:start[t + 1]])
+        assert got == expected, f"tile {t}: {got} != {expected}"
+
+
+def test_binning_budget_overflow_reported():
+    cam = make_camera(w=64, h=64)
+    means, scales, quats, colors, opac, feats = random_scene(80, seed=2)
+    prep = run_preprocess(means, scales, quats, colors, cam, tile_size=16)
+    small = bin_gaussians(prep, grid_x=4, grid_y=4, budget=8, max_tiles_per_gaussian=64)
+    assert int(small.dropped) > 0
+    assert int(small.num_instances) == 8
+
+
+def test_tiled_matches_dense():
+    for seed, (w, h) in [(3, (64, 64)), (4, (80, 48))]:
+        cam = make_camera(w=w, h=h)
+        means, scales, quats, colors, opac, feats = random_scene(120, seed=seed)
+        ts = 16
+        prep = run_preprocess(means, scales, quats, colors, cam, tile_size=ts)
+        gx, gy = (w + ts - 1) // ts, (h + ts - 1) // ts
+        inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=8192,
+                             max_tiles_per_gaussian=64)
+        assert int(inst.dropped) == 0
+        bg = jnp.array([0.0, 0.3, 1.0])
+        dense = rasterize_dense(prep, jnp.asarray(opac), jnp.asarray(feats), bg,
+                                image_height=h, image_width=w, tile_size=ts)
+        tiled = rasterize_tiled(prep, inst, jnp.asarray(opac), jnp.asarray(feats), bg,
+                                image_height=h, image_width=w,
+                                tile_size=ts, max_per_tile=128)
+        np.testing.assert_allclose(np.asarray(tiled["render"]),
+                                   np.asarray(dense["render"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(tiled["language_feature_image"]),
+                                   np.asarray(dense["language_feature_image"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(tiled["final_transmittance"]),
+                                   np.asarray(dense["final_transmittance"]), atol=2e-5)
+
+
+def test_tiled_gradients_match_dense():
+    import jax
+
+    cam = make_camera(w=32, h=32)
+    means, scales, quats, colors, opac, feats = random_scene(30, seed=5, spread=1.0)
+    ts = 16
+    gx = gy = 2
+
+    def common(prep_args):
+        means3d, scales_, opac_, colors_ = prep_args
+        return projection.preprocess(
+            means3d, scales_, jnp.asarray(quats), None,
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+            image_height=32, image_width=32, tanfovx=cam["tanfovx"],
+            tanfovy=cam["tanfovy"], sh_degree=0, tile_size=ts,
+            colors_precomp=colors_)
+
+    def loss_dense(*args):
+        prep = common(args)
+        out = rasterize_dense(prep, args[2], None, jnp.zeros(3),
+                              image_height=32, image_width=32, tile_size=ts)
+        return jnp.mean(out["render"] ** 2)
+
+    def loss_tiled(*args):
+        prep = common(args)
+        inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=2048,
+                             max_tiles_per_gaussian=16)
+        out = rasterize_tiled(prep, inst, args[2], None, jnp.zeros(3),
+                              image_height=32, image_width=32,
+                              tile_size=ts, max_per_tile=64)
+        return jnp.mean(out["render"] ** 2)
+
+    args = tuple(jnp.asarray(x) for x in (means, scales, opac, colors))
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(*args)
+    gt = jax.grad(loss_tiled, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(gd, gt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
