@@ -1,0 +1,491 @@
+"""Pallas TPU blend kernels (forward + backward) with a custom VJP.
+
+TPU-native replacement for the reference's `renderCUDA` forward/backward blend (component
+N4 in SURVEY.md §2.1; contract `/root/reference/gaussian_renderer/__init__.py:96-105`),
+re-designed for the TPU memory/compute model rather than translated:
+
+  - one grid program per image tile; the tile's (depth-sorted) instance list streams from
+    HBM in fixed `chunk`-sized pieces over an async-DMA loop;
+  - instances are packed OUTSIDE the kernel into a chunk-aligned layout
+    (`pack_instances`): every tile range starts at a multiple of `chunk` and is padded
+    with zero-opacity slots to a full chunk, so each DMA is aligned and the inner loop
+    has no partial-chunk masking;
+  - per-chunk alpha evaluation is vectorized [pixels, chunk] VPU work; the front-to-back
+    transmittance is a lane-wise log-shift cumulative product (7 roll-multiply steps for
+    chunk=128), NOT a sequential per-Gaussian loop;
+  - the color/feature accumulation contracts the chunk axis on the MXU; image blocks are
+    [pixels, channels] so no in-kernel transposes are needed anywhere;
+  - early exit: per-pixel `done` latches once transmittance would fall below 1e-4 (the
+    CUDA termination rule), and the chunk loop stops when every pixel is done;
+  - backward is a single second forward-direction pass (no back-to-front traversal, no
+    atomics): with Total[p] = sum_ch g_ch*out_ch[p] precomputed from the forward
+    residuals, the suffix sums the CUDA kernel accumulates backwards become
+    S_i = Total - Prefix_i, where Prefix is a lane-wise cumulative sum. Per-instance
+    gradients are written to disjoint slices (each instance belongs to exactly one tile)
+    — bitwise deterministic, unlike the CUDA atomic adds (SURVEY.md §5 race detection).
+
+Gradients for Gaussian parameters then flow through the (autodiff'd) packing gather as a
+deterministic scatter-add, and further through the jnp preprocess stage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from langsplat_tpu.ops.projection import PreprocessOut
+from langsplat_tpu.ops.rasterize_reference import ALPHA_EPS, ALPHA_MAX, TERM_EPS
+from langsplat_tpu.ops.tiles import InstanceBuffer
+
+# Packed per-instance row layout (D_BASE rows + F feature rows, padded to sublane multiple)
+ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC, ROW_OPA, ROW_R, ROW_G, ROW_B = range(9)
+D_BASE = 9
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class BlendSpec(NamedTuple):
+    """Static geometry of one blend call."""
+    grid_x: int
+    grid_y: int
+    tile_size: int
+    chunk: int
+    num_feat: int          # F language channels (0 => RGB only)
+    aligned_budget: int    # padded instance capacity (multiple of chunk)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.grid_x * self.grid_y
+
+    @property
+    def pixels(self) -> int:
+        return self.tile_size * self.tile_size
+
+    @property
+    def rows(self) -> int:  # packed rows, sublane-aligned
+        return _round_up(D_BASE + self.num_feat, 8)
+
+    @property
+    def blend_channels(self) -> int:  # rgb + language features
+        return 3 + self.num_feat
+
+    @property
+    def out_channels(self) -> int:  # blend channels + transmittance, lane-friendly pad
+        return _round_up(self.blend_channels + 1, 8)
+
+
+def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chunk: int,
+                    num_feat: int, budget: int) -> BlendSpec:
+    gx = -(-image_width // tile_size)
+    gy = -(-image_height // tile_size)
+    # worst case every tile has a partial chunk of padding
+    aligned = _round_up(budget + gx * gy * (chunk - 1), chunk)
+    return BlendSpec(grid_x=gx, grid_y=gy, tile_size=tile_size, chunk=chunk,
+                     num_feat=num_feat, aligned_budget=aligned)
+
+
+def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
+                   features: jnp.ndarray | None, inst: InstanceBuffer,
+                   spec: BlendSpec,
+                   means2d_override: jnp.ndarray | None = None
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather per-Gaussian attributes into the chunk-aligned per-instance matrix.
+
+    Returns (packed [rows, aligned_budget], aligned_start [num_tiles+1] int32).
+    Differentiable in the attribute arguments (gather -> scatter-add backward).
+    """
+    n = prep.means2d.shape[0]
+    chunk = spec.chunk
+    counts = inst.tile_start[1:] - inst.tile_start[:-1]
+    padded_counts = (counts + chunk - 1) // chunk * chunk
+    p_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                             jnp.cumsum(padded_counts)]).astype(jnp.int32)
+
+    slot = jnp.arange(spec.aligned_budget, dtype=jnp.int32)
+    t = jnp.searchsorted(p_off, slot, side="right").astype(jnp.int32) - 1
+    t = jnp.clip(t, 0, spec.num_tiles - 1)
+    local = slot - p_off[t]
+    valid = local < counts[t]
+    src = jnp.clip(inst.tile_start[t] + local, 0, inst.gauss_id.shape[0] - 1)
+    gid = jnp.where(valid, inst.gauss_id[src], n)  # n = dead column
+
+    means2d = prep.means2d if means2d_override is None else means2d_override
+    rows = [means2d[:, 0], means2d[:, 1],
+            prep.conics[:, 0], prep.conics[:, 1], prep.conics[:, 2],
+            jnp.where(prep.visible, opacities, 0.0),
+            prep.colors[:, 0], prep.colors[:, 1], prep.colors[:, 2]]
+    if features is not None:
+        rows.extend(features[:, i] for i in range(spec.num_feat))
+    attrs = jnp.stack(rows, axis=0)  # [d, n]
+    d = attrs.shape[0]
+    attrs = jnp.concatenate([attrs, jnp.zeros((d, 1), attrs.dtype)], axis=1)
+    if d < spec.rows:
+        attrs = jnp.concatenate(
+            [attrs, jnp.zeros((spec.rows - d, n + 1), attrs.dtype)], axis=0)
+    packed = attrs[:, gid]
+    return packed, p_off
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers. Convention: [pixels, chunk] arrays (lanes = instance axis),
+# image blocks [pixels, channels], carries [pixels, 1].
+# ---------------------------------------------------------------------------
+
+def _shifted(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
+    """x[:, i] <- x[:, i - s] with `fill` for i < s (lane axis shift)."""
+    rolled = pltpu.roll(x, shift=s, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= s, rolled, fill)
+
+
+def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative product along the lane axis (log-shift)."""
+    s = 1
+    while s < x.shape[1]:
+        x = x * _shifted(x, s, 1.0)
+        s *= 2
+    return x
+
+
+def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative sum along the lane axis."""
+    s = 1
+    while s < x.shape[1]:
+        x = x + _shifted(x, s, 0.0)
+        s *= 2
+    return x
+
+
+def _chunk_alpha(data: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """Alphas for one chunk. data [rows, chunk]; px/py [pixels, 1].
+
+    Returns (alpha, gexp, dx, dy, keep) — all [pixels, chunk]; alpha is post-threshold.
+    """
+    mx = data[ROW_MX:ROW_MX + 1, :]
+    my = data[ROW_MY:ROW_MY + 1, :]
+    ca = data[ROW_CA:ROW_CA + 1, :]
+    cb = data[ROW_CB:ROW_CB + 1, :]
+    cc = data[ROW_CC:ROW_CC + 1, :]
+    opa = data[ROW_OPA:ROW_OPA + 1, :]
+    dx = px - mx
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    keep_p = power <= 0.0
+    gexp = jnp.exp(jnp.where(keep_p, power, -1.0))
+    alpha = jnp.minimum(ALPHA_MAX, opa * gexp)
+    keep = keep_p & (alpha >= ALPHA_EPS)
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, gexp, dx, dy, keep
+
+
+def _blend_state(alpha, t_carry, done):
+    """Shared forward blend bookkeeping for one chunk.
+
+    Returns (eff, w, t_excl, t_new, done_new): effective alphas after the CUDA
+    termination rule, blend weights, per-instance exclusive transmittance, and the
+    carried transmittance / done latch for the next chunk.
+    """
+    t_incl = t_carry * _cumprod_lanes(1.0 - alpha)
+    included = (t_incl >= TERM_EPS) & jnp.logical_not(done)
+    eff = jnp.where(included, alpha, 0.0)
+    cum_eff = _cumprod_lanes(1.0 - eff)
+    t_excl = t_carry * _shifted(cum_eff, 1, 1.0)
+    w = eff * t_excl
+    done_new = done | (t_incl[:, -1:] < TERM_EPS)
+    t_new = t_carry * cum_eff[:, -1:]
+    return eff, w, t_excl, t_new, done_new
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(spec: BlendSpec,
+                start_ref,            # scalar prefetch: [num_tiles+1] aligned starts
+                inst_ref,             # HBM [rows, aligned_budget]
+                out_ref,              # VMEM block [1, pixels, out_channels]
+                chunk_buf, dma_sem):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    nchunks = (start_ref[t + 1] - start) // spec.chunk
+    f32 = jnp.float32
+    px, py = _pixel_coords(t, spec, f32)
+    ncol = spec.blend_channels
+
+    def body(state):
+        k, acc, t_carry, done = state
+        copy = pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start + k * spec.chunk, spec.chunk)],
+            chunk_buf, dma_sem)
+        copy.start()
+        copy.wait()
+        data = chunk_buf[:, :]
+        alpha, _, _, _, _ = _chunk_alpha(data, px, py)
+        _, w, _, t_new, done_new = _blend_state(alpha, t_carry, done)
+        # acc[p, ch] += sum_i w[p, i] * attrs[ch, i]  (MXU contraction over the chunk)
+        acc = acc + jax.lax.dot_general(
+            w, data[ROW_R:ROW_R + ncol, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return k + 1, acc, t_new, done_new
+
+    def cond(state):
+        k, _, _, done = state
+        return (k < nchunks) & jnp.logical_not(jnp.all(done))
+
+    _, acc, t_carry, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros((spec.pixels, ncol), f32),
+         jnp.ones((spec.pixels, 1), f32),
+         jnp.zeros((spec.pixels, 1), jnp.bool_)))
+
+    out_ref[0, :, 0:ncol] = acc
+    out_ref[0, :, ncol:ncol + 1] = t_carry
+    if spec.out_channels > ncol + 1:
+        out_ref[0, :, ncol + 1:] = jnp.zeros(
+            (spec.pixels, spec.out_channels - ncol - 1), f32)
+
+
+def _pixel_coords(tile_idx, spec: BlendSpec, dtype):
+    ts = spec.tile_size
+    ty = tile_idx // spec.grid_x
+    tx = tile_idx % spec.grid_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (spec.pixels, 1), 0)
+    px = (tx * ts + p % ts).astype(dtype)
+    py = (ty * ts + p // ts).astype(dtype)
+    return px, py
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(spec: BlendSpec,
+                start_ref,            # scalar prefetch
+                inst_ref,             # HBM [rows, aligned_budget]
+                gout_ref,             # VMEM block [1, pixels, out_channels] cotangents
+                res_ref,              # VMEM block [1, pixels, 2]: (Total, T_final)
+                zeros_ref,            # HBM [rows, aligned_budget] (aliased -> grad out)
+                dinst_ref,            # HBM output [rows, aligned_budget]
+                chunk_buf, dchunk_buf, in_sem, out_sem):
+    del zeros_ref
+    t = pl.program_id(0)
+    start = start_ref[t]
+    nchunks = (start_ref[t + 1] - start) // spec.chunk
+    f32 = jnp.float32
+    px, py = _pixel_coords(t, spec, f32)
+    ncol = spec.blend_channels
+
+    g_blend = gout_ref[0, :, 0:ncol]                           # [P, ncol]
+    g_t = gout_ref[0, :, ncol:ncol + 1]                        # [P, 1] dL/dT_final
+    total = res_ref[0, :, 0:1]                                 # [P, 1]
+    t_final = res_ref[0, :, 1:2]                               # [P, 1]
+    tail_term = g_t * t_final
+
+    def body(state):
+        k, prefix, t_carry, done = state
+        copy = pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(start + k * spec.chunk, spec.chunk)],
+            chunk_buf, in_sem)
+        copy.start()
+        copy.wait()
+        data = chunk_buf[:, :]
+        alpha, gexp, dx, dy, keep = _chunk_alpha(data, px, py)
+        eff, w, t_excl, t_new, done_new = _blend_state(alpha, t_carry, done)
+
+        # gdot[p, i] = sum_ch g_ch[p] * attr_ch[i]
+        gdot = jax.lax.dot_general(
+            g_blend, data[ROW_R:ROW_R + ncol, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [P, C]
+        contrib = w * gdot
+        prefix_incl = prefix + _cumsum_lanes(contrib)
+        suffix = total - prefix_incl
+        live = (eff > 0.0) & keep
+        dalpha = jnp.where(
+            live,
+            t_excl * gdot - (suffix + tail_term) / (1.0 - eff + 1e-20),
+            0.0)
+
+        # chain: alpha = min(0.99, opa * gexp); clamped -> zero grad (jnp semantics)
+        opa = data[ROW_OPA:ROW_OPA + 1, :]
+        dag = jnp.where((opa * gexp) < ALPHA_MAX, dalpha, 0.0)
+        d_opa = jnp.sum(dag * gexp, axis=0, keepdims=True)     # [1, C]
+        dpower = dag * alpha
+        ca = data[ROW_CA:ROW_CA + 1, :]
+        cb = data[ROW_CB:ROW_CB + 1, :]
+        cc = data[ROW_CC:ROW_CC + 1, :]
+        d_ca = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+        d_cb = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
+        d_cc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+        ddx = dpower * (-(ca * dx + cb * dy))
+        ddy = dpower * (-(cc * dy + cb * dx))
+        d_mx = jnp.sum(-ddx, axis=0, keepdims=True)
+        d_my = jnp.sum(-ddy, axis=0, keepdims=True)
+        # d attrs[ch, i] = sum_p g_blend[p, ch] * w[p, i]
+        d_attr = jax.lax.dot_general(
+            g_blend, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [ncol, C]
+
+        dchunk_buf[ROW_MX:ROW_MX + 1, :] = d_mx
+        dchunk_buf[ROW_MY:ROW_MY + 1, :] = d_my
+        dchunk_buf[ROW_CA:ROW_CA + 1, :] = d_ca
+        dchunk_buf[ROW_CB:ROW_CB + 1, :] = d_cb
+        dchunk_buf[ROW_CC:ROW_CC + 1, :] = d_cc
+        dchunk_buf[ROW_OPA:ROW_OPA + 1, :] = d_opa
+        dchunk_buf[ROW_R:ROW_R + ncol, :] = d_attr
+        if spec.rows > D_BASE + spec.num_feat:
+            dchunk_buf[D_BASE + spec.num_feat:, :] = jnp.zeros(
+                (spec.rows - D_BASE - spec.num_feat, spec.chunk), f32)
+        wcopy = pltpu.make_async_copy(
+            dchunk_buf,
+            dinst_ref.at[:, pl.ds(start + k * spec.chunk, spec.chunk)],
+            out_sem)
+        wcopy.start()
+        wcopy.wait()
+        return k + 1, prefix_incl[:, -1:], t_new, done_new
+
+    def cond(state):
+        k, _, _, done = state
+        return (k < nchunks) & jnp.logical_not(jnp.all(done))
+
+    jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros((spec.pixels, 1), f32),
+         jnp.ones((spec.pixels, 1), f32),
+         jnp.zeros((spec.pixels, 1), jnp.bool_)))
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(spec.num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, spec.pixels, spec.out_channels),
+                               lambda t, s: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((spec.rows, spec.chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct((spec.num_tiles, spec.pixels, spec.out_channels),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(aligned_start, packed)
+
+
+def _bwd_call(packed, aligned_start, g_out, residuals, spec: BlendSpec, interpret: bool):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(spec.num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # packed
+            pl.BlockSpec((1, spec.pixels, spec.out_channels),
+                         lambda t, s: (t, 0, 0)),   # g_out
+            pl.BlockSpec((1, spec.pixels, 2),
+                         lambda t, s: (t, 0, 0)),   # (Total, T_final)
+            pl.BlockSpec(memory_space=pl.ANY),   # zero-init grads (aliased to output)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((spec.rows, spec.chunk), jnp.float32),
+            pltpu.VMEM((spec.rows, spec.chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    zeros = jnp.zeros_like(packed)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={4: 0},  # zeros input (incl. scalar prefetch) -> grad output
+        interpret=interpret,
+    )(aligned_start, packed, g_out, residuals, zeros)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def blend_tiles(packed: jnp.ndarray, aligned_start: jnp.ndarray,
+                spec: BlendSpec, interpret: bool = False) -> jnp.ndarray:
+    """Blend packed instances into per-tile images [num_tiles, pixels, out_channels].
+
+    Channels 0..2+F hold blended RGB+feature values; channel 3+F is final transmittance.
+    """
+    return _fwd_call(packed, aligned_start, spec, interpret)
+
+
+def _blend_fwd(packed, aligned_start, spec, interpret):
+    out = _fwd_call(packed, aligned_start, spec, interpret)
+    return out, (packed, aligned_start, out)
+
+
+def _blend_bwd(spec, interpret, res, g_out):
+    packed, aligned_start, out = res
+    ncol = spec.blend_channels
+    total = jnp.sum(g_out[:, :, 0:ncol] * out[:, :, 0:ncol], axis=-1, keepdims=True)
+    t_final = out[:, :, ncol:ncol + 1]
+    residuals = jnp.concatenate([total, t_final], axis=-1)
+    d_packed = _bwd_call(packed, aligned_start, g_out, residuals, spec, interpret)
+    return d_packed, None
+
+
+blend_tiles.defvjp(_blend_fwd, _blend_bwd)
+
+
+def tiles_to_image(tiles: jnp.ndarray, spec: BlendSpec, image_height: int,
+                   image_width: int) -> jnp.ndarray:
+    """[num_tiles, pixels, C] -> [C, H, W] crop."""
+    c = tiles.shape[2]
+    ts = spec.tile_size
+    img = tiles.reshape(spec.grid_y, spec.grid_x, ts, ts, c)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(c, spec.grid_y * ts, spec.grid_x * ts)
+    return img[:, :image_height, :image_width]
+
+
+def rasterize_pallas(
+    prep: PreprocessOut,
+    inst: InstanceBuffer,
+    opacities: jnp.ndarray,
+    features: jnp.ndarray | None,
+    bg: jnp.ndarray,
+    *,
+    image_height: int,
+    image_width: int,
+    tile_size: int,
+    chunk: int = 128,
+    interpret: bool = False,
+    means2d_override: jnp.ndarray | None = None,
+) -> dict:
+    """Full Pallas rasterization: pack -> blend -> assemble. Differentiable."""
+    num_feat = 0 if features is None else features.shape[1]
+    spec = make_blend_spec(image_height=image_height, image_width=image_width,
+                           tile_size=tile_size, chunk=chunk, num_feat=num_feat,
+                           budget=inst.gauss_id.shape[0])
+    packed, p_off = pack_instances(prep, opacities, features, inst, spec,
+                                   means2d_override=means2d_override)
+    tiles = blend_tiles(packed, jax.lax.stop_gradient(p_off), spec, interpret)
+    ncol = 3 + num_feat
+    img = tiles_to_image(tiles[:, :, :ncol + 1], spec, image_height, image_width)
+    t_final = img[ncol]
+    out = {
+        "render": img[0:3] + t_final[None] * bg[:, None, None],
+        "final_transmittance": t_final,
+    }
+    if features is not None:
+        out["language_feature_image"] = img[3:3 + num_feat]
+    return out

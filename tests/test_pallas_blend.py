@@ -1,0 +1,103 @@
+"""Pallas blend kernel (interpret mode on CPU) vs the tiled/dense JAX oracle: forward
+values and custom-VJP gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from langsplat_tpu.ops import projection
+from langsplat_tpu.ops.rasterize_pallas import rasterize_pallas
+from langsplat_tpu.ops.rasterize_reference import rasterize_dense
+from langsplat_tpu.ops.tiles import bin_gaussians
+
+from tests.test_projection_and_dense import make_camera, run_preprocess
+from tests.test_tiles import random_scene
+
+
+def setup(n=120, seed=3, w=64, h=48, ts=16):
+    cam = make_camera(w=w, h=h)
+    means, scales, quats, colors, opac, feats = random_scene(n, seed=seed)
+    prep = run_preprocess(means, scales, quats, colors, cam, tile_size=ts)
+    gx, gy = -(-w // ts), -(-h // ts)
+    inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=8192,
+                         max_tiles_per_gaussian=64)
+    return cam, prep, inst, (means, scales, quats, colors, opac, feats)
+
+
+def test_pallas_forward_matches_dense():
+    cam, prep, inst, (means, scales, quats, colors, opac, feats) = setup()
+    bg = jnp.array([0.1, 0.3, 1.0])
+    w, h, ts = 64, 48, 16
+    dense = rasterize_dense(prep, jnp.asarray(opac), jnp.asarray(feats), bg,
+                            image_height=h, image_width=w, tile_size=ts)
+    pall = rasterize_pallas(prep, inst, jnp.asarray(opac), jnp.asarray(feats), bg,
+                            image_height=h, image_width=w, tile_size=ts,
+                            chunk=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(pall["render"]),
+                               np.asarray(dense["render"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(pall["language_feature_image"]),
+                               np.asarray(dense["language_feature_image"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(pall["final_transmittance"]),
+                               np.asarray(dense["final_transmittance"]), atol=3e-5)
+
+
+def test_pallas_gradients_match_dense():
+    w = h = 32
+    ts = 16
+    cam = make_camera(w=w, h=h)
+    means, scales, quats, colors, opac, feats = random_scene(40, seed=7, spread=1.0)
+    target = np.random.default_rng(0).uniform(size=(3, h, w)).astype(np.float32)
+    ftarget = np.random.default_rng(1).uniform(size=(3, h, w)).astype(np.float32)
+
+    def common(means3d, scales_, opac_, colors_, feats_):
+        return projection.preprocess(
+            means3d, scales_, jnp.asarray(quats), None,
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+            image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+            tanfovy=cam["tanfovy"], sh_degree=0, tile_size=ts,
+            colors_precomp=colors_)
+
+    def loss_from(out):
+        return (jnp.mean((out["render"] - target) ** 2)
+                + jnp.mean((out["language_feature_image"] - ftarget) ** 2)
+                + 0.1 * jnp.mean(out["final_transmittance"]))
+
+    bg = jnp.array([0.2, 0.5, 0.8])
+
+    def loss_dense(*args):
+        prep = common(*args)
+        out = rasterize_dense(prep, args[2], args[4], bg,
+                              image_height=h, image_width=w, tile_size=ts)
+        return loss_from(out)
+
+    def loss_pallas(*args):
+        prep = common(*args)
+        inst = bin_gaussians(prep, grid_x=2, grid_y=2, budget=2048,
+                             max_tiles_per_gaussian=16)
+        out = rasterize_pallas(prep, inst, args[2], args[4], bg,
+                               image_height=h, image_width=w, tile_size=ts,
+                               chunk=32, interpret=True)
+        return loss_from(out)
+
+    args = tuple(jnp.asarray(x) for x in (means, scales, opac, colors, feats))
+    ld, gd = jax.value_and_grad(loss_dense, argnums=(0, 1, 2, 3, 4))(*args)
+    lp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_allclose(float(lp), float(ld), rtol=1e-5)
+    names = ["means", "scales", "opac", "colors", "feats"]
+    for nm, a, b in zip(names, gd, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5,
+                                   err_msg=f"grad mismatch: {nm}")
+
+
+def test_pallas_rgb_only_no_features():
+    cam, prep, inst, (means, scales, quats, colors, opac, feats) = setup(seed=9)
+    bg = jnp.zeros(3)
+    w, h, ts = 64, 48, 16
+    dense = rasterize_dense(prep, jnp.asarray(opac), None, bg,
+                            image_height=h, image_width=w, tile_size=ts)
+    pall = rasterize_pallas(prep, inst, jnp.asarray(opac), None, bg,
+                            image_height=h, image_width=w, tile_size=ts,
+                            chunk=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(pall["render"]),
+                               np.asarray(dense["render"]), atol=3e-5)
+    assert "language_feature_image" not in pall
