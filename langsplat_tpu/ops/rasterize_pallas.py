@@ -198,8 +198,11 @@ def _blend_state(alpha, t_carry, done):
     cum_eff = _cumprod_lanes(1.0 - eff)
     t_excl = t_carry * _shifted(cum_eff, 1, 1.0)
     w = eff * t_excl
-    done_new = done | (t_incl[:, -1:] < TERM_EPS)
-    t_new = t_carry * cum_eff[:, -1:]
+    # Last-lane values via full-lane reductions (both cumulatives are monotone along
+    # lanes): lane-slice extracts ([:, -1:]) would give the while-loop carries a
+    # lane-offset layout Mosaic can't reconcile with the offset-0 initial values.
+    done_new = done | (jnp.min(t_incl, axis=1, keepdims=True) < TERM_EPS)
+    t_new = t_carry * jnp.min(cum_eff, axis=1, keepdims=True)
     return eff, w, t_excl, t_new, done_new
 
 
@@ -211,7 +214,11 @@ def _fwd_kernel(spec: BlendSpec,
                 start_ref,            # scalar prefetch: [num_tiles+1] aligned starts
                 inst_ref,             # HBM [rows, aligned_budget]
                 out_ref,              # VMEM block [1, pixels, out_channels]
-                chunk_buf, dma_sem):
+                chunk_buf, t_ref, done_ref, dma_sem):
+    # Loop state lives in VMEM scratch refs (t_ref/done_ref [pixels,1], the accumulator
+    # directly in out_ref): fori_loop with predicated bodies — value carries would force
+    # Mosaic to unify vector layouts across iterations (lane-slices/reductions yield
+    # offset/replicated layouts that clash with the offset-0 initials).
     t = pl.program_id(0)
     start = start_ref[t]
     nchunks = (start_ref[t + 1] - start) // spec.chunk
@@ -219,38 +226,38 @@ def _fwd_kernel(spec: BlendSpec,
     px, py = _pixel_coords(t, spec, f32)
     ncol = spec.blend_channels
 
-    def body(state):
-        k, acc, t_carry, done = state
-        copy = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(start + k * spec.chunk, spec.chunk)],
-            chunk_buf, dma_sem)
-        copy.start()
-        copy.wait()
-        data = chunk_buf[:, :]
-        alpha, _, _, _, _ = _chunk_alpha(data, px, py)
-        _, w, _, t_new, done_new = _blend_state(alpha, t_carry, done)
-        # acc[p, ch] += sum_i w[p, i] * attrs[ch, i]  (MXU contraction over the chunk)
-        acc = acc + jax.lax.dot_general(
-            w, data[ROW_R:ROW_R + ncol, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return k + 1, acc, t_new, done_new
+    out_ref[0, :, :] = jnp.zeros((spec.pixels, spec.out_channels), f32)
+    t_ref[:, :] = jnp.ones((spec.pixels, 1), f32)
+    done_ref[:, :] = jnp.zeros((spec.pixels, 1), f32)
 
-    def cond(state):
-        k, _, _, done = state
-        return (k < nchunks) & jnp.logical_not(jnp.all(done))
+    def body(k, _):
+        alive = jnp.max(1.0 - done_ref[:, :]) > 0.0
 
-    _, acc, t_carry, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.zeros((spec.pixels, ncol), f32),
-         jnp.ones((spec.pixels, 1), f32),
-         jnp.zeros((spec.pixels, 1), jnp.bool_)))
+        @pl.when(alive)
+        def _():
+            offset = pl.multiple_of(start + k * spec.chunk, spec.chunk)
+            copy = pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(offset, spec.chunk)],
+                chunk_buf, dma_sem)
+            copy.start()
+            copy.wait()
+            data = chunk_buf[:, :]
+            alpha, _, _, _, _ = _chunk_alpha(data, px, py)
+            t_carry = t_ref[:, :]
+            done = done_ref[:, :] > 0.0
+            _, w, _, t_new, done_new = _blend_state(alpha, t_carry, done)
+            # acc[p, ch] += sum_i w[p, i] * attrs[ch, i] (MXU contraction over the chunk)
+            out_ref[0, :, 0:ncol] += jax.lax.dot_general(
+                w, data[ROW_R:ROW_R + ncol, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t_ref[:, :] = t_new
+            done_ref[:, :] = jnp.where(done_new, 1.0, 0.0)
 
-    out_ref[0, :, 0:ncol] = acc
-    out_ref[0, :, ncol:ncol + 1] = t_carry
-    if spec.out_channels > ncol + 1:
-        out_ref[0, :, ncol + 1:] = jnp.zeros(
-            (spec.pixels, spec.out_channels - ncol - 1), f32)
+        return ()
+
+    jax.lax.fori_loop(0, nchunks, body, ())
+    out_ref[0, :, ncol:ncol + 1] = t_ref[:, :]
 
 
 def _pixel_coords(tile_idx, spec: BlendSpec, dtype):
@@ -274,7 +281,7 @@ def _bwd_kernel(spec: BlendSpec,
                 res_ref,              # VMEM block [1, pixels, 2]: (Total, T_final)
                 zeros_ref,            # HBM [rows, aligned_budget] (aliased -> grad out)
                 dinst_ref,            # HBM output [rows, aligned_budget]
-                chunk_buf, dchunk_buf, in_sem, out_sem):
+                chunk_buf, dchunk_buf, prefix_ref, t_ref, done_ref, in_sem, out_sem):
     del zeros_ref
     t = pl.program_id(0)
     start = start_ref[t]
@@ -289,15 +296,31 @@ def _bwd_kernel(spec: BlendSpec,
     t_final = res_ref[0, :, 1:2]                               # [P, 1]
     tail_term = g_t * t_final
 
-    def body(state):
-        k, prefix, t_carry, done = state
+    prefix_ref[:, :] = jnp.zeros((spec.pixels, 1), f32)
+    t_ref[:, :] = jnp.ones((spec.pixels, 1), f32)
+    done_ref[:, :] = jnp.zeros((spec.pixels, 1), f32)
+
+    def body(k, _):
+        alive = jnp.max(1.0 - done_ref[:, :]) > 0.0
+
+        @pl.when(alive)
+        def _():
+            _bwd_chunk(k)
+
+        return ()
+
+    def _bwd_chunk(k):
+        offset = pl.multiple_of(start + k * spec.chunk, spec.chunk)
         copy = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(start + k * spec.chunk, spec.chunk)],
+            inst_ref.at[:, pl.ds(offset, spec.chunk)],
             chunk_buf, in_sem)
         copy.start()
         copy.wait()
         data = chunk_buf[:, :]
         alpha, gexp, dx, dy, keep = _chunk_alpha(data, px, py)
+        prefix = prefix_ref[:, :]
+        t_carry = t_ref[:, :]
+        done = done_ref[:, :] > 0.0
         eff, w, t_excl, t_new, done_new = _blend_state(alpha, t_carry, done)
 
         # gdot[p, i] = sum_ch g_ch[p] * attr_ch[i]
@@ -347,21 +370,15 @@ def _bwd_kernel(spec: BlendSpec,
                 (spec.rows - D_BASE - spec.num_feat, spec.chunk), f32)
         wcopy = pltpu.make_async_copy(
             dchunk_buf,
-            dinst_ref.at[:, pl.ds(start + k * spec.chunk, spec.chunk)],
+            dinst_ref.at[:, pl.ds(offset, spec.chunk)],
             out_sem)
         wcopy.start()
         wcopy.wait()
-        return k + 1, prefix_incl[:, -1:], t_new, done_new
+        prefix_ref[:, :] = prefix + jnp.sum(contrib, axis=1, keepdims=True)
+        t_ref[:, :] = t_new
+        done_ref[:, :] = jnp.where(done_new, 1.0, 0.0)
 
-    def cond(state):
-        k, _, _, done = state
-        return (k < nchunks) & jnp.logical_not(jnp.all(done))
-
-    jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.zeros((spec.pixels, 1), f32),
-         jnp.ones((spec.pixels, 1), f32),
-         jnp.zeros((spec.pixels, 1), jnp.bool_)))
+    jax.lax.fori_loop(0, nchunks, body, ())
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +394,8 @@ def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
                                lambda t, s: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((spec.rows, spec.chunk), jnp.float32),
+            pltpu.VMEM((spec.pixels, 1), jnp.float32),   # t_carry
+            pltpu.VMEM((spec.pixels, 1), jnp.float32),   # done latch
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -405,6 +424,9 @@ def _bwd_call(packed, aligned_start, g_out, residuals, spec: BlendSpec, interpre
         scratch_shapes=[
             pltpu.VMEM((spec.rows, spec.chunk), jnp.float32),
             pltpu.VMEM((spec.rows, spec.chunk), jnp.float32),
+            pltpu.VMEM((spec.pixels, 1), jnp.float32),   # prefix carry
+            pltpu.VMEM((spec.pixels, 1), jnp.float32),   # t_carry
+            pltpu.VMEM((spec.pixels, 1), jnp.float32),   # done latch
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
