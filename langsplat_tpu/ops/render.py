@@ -1,0 +1,126 @@
+"""Top-level differentiable render: the TPU-native equivalent of the reference's
+`render()` wrapper (`/root/reference/gaussian_renderer/__init__.py:19-115`).
+
+Returns the same contract: dict with `render` [3,H,W], `language_feature_image` [F,H,W],
+`viewspace_points` gradient tap, `visibility_filter`, `radii` — so the training loop,
+render CLI and eval pipeline translate 1:1. The `screenspace_offset` argument is the
+means2D gradient tap (reference's zero `screenspace_points` with retain_grad at
+`gaussian_renderer/__init__.py:26-31`): pass zeros of shape [cap, 2] and take the gradient
+of the loss w.r.t. it to drive densification statistics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from langsplat_tpu.ops import projection
+from langsplat_tpu.ops.rasterize_pallas import rasterize_pallas
+from langsplat_tpu.ops.rasterize_tiled import rasterize_tiled
+from langsplat_tpu.ops.tiles import bin_gaussians
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static rasterization settings (the analog of GaussianRasterizationSettings,
+    construction pinned at `/root/reference/gaussian_renderer/__init__.py:37-51`)."""
+    image_height: int
+    image_width: int
+    tanfovx: float
+    tanfovy: float
+    sh_degree: int          # ACTIVE degree
+    scale_modifier: float = 1.0
+    include_feature: bool = True
+    tile_size: int = 16
+    chunk: int = 128
+    budget: int = 0         # instance budget; 0 => 6 * capacity
+    max_tiles_per_gaussian: int = 32
+    backend: str = "pallas"  # "pallas" | "tiled" | (tiled needs max_per_tile)
+    max_per_tile: int = 1024
+    interpret: bool = False
+
+    @property
+    def grid_x(self) -> int:
+        return -(-self.image_width // self.tile_size)
+
+    @property
+    def grid_y(self) -> int:
+        return -(-self.image_height // self.tile_size)
+
+
+def render(
+    field,                       # GaussianField (or anything with its properties)
+    settings: RenderSettings,
+    viewmatrix: jnp.ndarray,     # [4,4] row-vector world->view
+    projmatrix: jnp.ndarray,     # [4,4] row-vector world->clip (view @ proj)
+    campos: jnp.ndarray,         # [3]
+    bg_color: jnp.ndarray,       # [3]
+    screenspace_offset: jnp.ndarray | None = None,   # [cap, 2] zeros (grad tap)
+    override_color: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
+) -> dict[str, Any]:
+    cap = field.xyz.shape[0]
+    budget = settings.budget or 6 * cap
+
+    shs = None
+    colors_precomp = override_color
+    if override_color is None:
+        shs = field.get_features
+
+    prep = projection.preprocess(
+        field.xyz,
+        field.get_scaling,
+        field.rotation,
+        shs,
+        viewmatrix, projmatrix, campos,
+        image_height=settings.image_height,
+        image_width=settings.image_width,
+        tanfovx=settings.tanfovx,
+        tanfovy=settings.tanfovy,
+        sh_degree=settings.sh_degree,
+        tile_size=settings.tile_size,
+        scale_modifier=settings.scale_modifier,
+        cov3d_precomp=cov3d_precomp,
+        colors_precomp=colors_precomp,
+        alive=field.alive,
+    )
+    means2d = prep.means2d
+    if screenspace_offset is not None:
+        means2d = means2d + screenspace_offset
+
+    features = None
+    if settings.include_feature:
+        lf = field.get_language_feature
+        # epsilon inside the sqrt: keeps the gradient finite at lf == 0 (the zero init of
+        # the feature phase; torch's norm has a zero subgradient there, jnp's is NaN)
+        norm = jnp.sqrt(jnp.sum(lf * lf, axis=-1, keepdims=True) + 1e-18)
+        features = lf / (norm + 1e-9)
+
+    inst = bin_gaussians(
+        jax.tree.map(jax.lax.stop_gradient, prep),
+        grid_x=settings.grid_x, grid_y=settings.grid_y,
+        budget=budget, max_tiles_per_gaussian=settings.max_tiles_per_gaussian)
+
+    opac = field.get_opacity[:, 0]
+    if settings.backend == "tiled":
+        out = rasterize_tiled(
+            prep._replace(means2d=means2d), inst, opac, features, bg_color,
+            image_height=settings.image_height, image_width=settings.image_width,
+            tile_size=settings.tile_size, max_per_tile=settings.max_per_tile)
+    else:
+        out = rasterize_pallas(
+            prep, inst, opac, features, bg_color,
+            image_height=settings.image_height, image_width=settings.image_width,
+            tile_size=settings.tile_size, chunk=settings.chunk,
+            interpret=settings.interpret, means2d_override=means2d)
+
+    out["radii"] = prep.radii
+    out["visibility_filter"] = prep.radii > 0
+    out["instances_dropped"] = inst.dropped
+    if "language_feature_image" not in out:
+        out["language_feature_image"] = jnp.zeros(
+            (1,) + out["render"].shape[1:], out["render"].dtype)
+    return out
