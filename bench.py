@@ -1,0 +1,118 @@
+"""Benchmark: forward+backward rasterization throughput at 1M Gaussians (BASELINE.md).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+The reference publishes no throughput number (BASELINE.json `published: {}`), so
+vs_baseline is reported against the first recorded value of this framework (1.0 when no
+prior record exists).
+
+Env knobs: BENCH_N (gaussians), BENCH_H/BENCH_W (image), BENCH_STEPS, BENCH_BACKEND.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from langsplat_tpu.core import transforms
+    from langsplat_tpu.ops import projection
+    from langsplat_tpu.ops.rasterize_pallas import rasterize_pallas
+    from langsplat_tpu.ops.tiles import bin_gaussians
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    h = int(os.environ.get("BENCH_H", 768))
+    w = int(os.environ.get("BENCH_W", 1024))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    ts = 16
+    chunk = 128
+    budget = 6 * n
+    fov = 0.9
+
+    rng = np.random.default_rng(0)
+    means = np.concatenate([rng.uniform(-3, 3, (n, 2)), rng.uniform(2.5, 12, (n, 1))],
+                           axis=1).astype(np.float32)
+    scales = np.exp(rng.uniform(np.log(0.002), np.log(0.02), (n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    feats = rng.normal(size=(n, 3)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    view = transforms.world_to_view(np.eye(3), np.zeros(3)).T
+    proj = view @ transforms.projection_matrix(0.01, 100.0, fov, fov).T
+    campos = np.linalg.inv(view)[3, :3]
+    tanf = float(np.tan(fov / 2))
+    bg = jnp.zeros(3)
+    gx, gy = -(-w // ts), -(-h // ts)
+
+    @jax.jit
+    def train_like_step(m, s, q, o, c, f):
+        def loss_fn(m, s, q, o, c, f):
+            prep = projection.preprocess(
+                m, s, q, None, jnp.asarray(view), jnp.asarray(proj),
+                jnp.asarray(campos), image_height=h, image_width=w,
+                tanfovx=tanf, tanfovy=tanf, sh_degree=0, tile_size=ts,
+                colors_precomp=c)
+            inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
+                                 max_tiles_per_gaussian=32)
+            out = rasterize_pallas(prep, inst, o, f, bg, image_height=h,
+                                   image_width=w, tile_size=ts, chunk=chunk)
+            return jnp.mean(out["render"] ** 2) + jnp.mean(
+                out["language_feature_image"] ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
+            m, s, q, o, c, f)
+        return loss, grads
+
+    args = tuple(map(jnp.asarray, (means, scales, quats, opac, colors, feats)))
+    loss, grads = train_like_step(*args)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for _ in range(steps):
+        loss, grads = train_like_step(*args)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / steps
+    pixels_per_s = h * w / dt
+
+    record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_baseline.json")
+    baseline = None
+    try:
+        with open(record_path) as fh:
+            baseline = json.load(fh).get("pixels_per_s")
+    except Exception:
+        pass
+    if baseline is None:
+        try:
+            with open(record_path, "w") as fh:
+                json.dump({"pixels_per_s": pixels_per_s,
+                           "config": {"n": n, "h": h, "w": w}}, fh)
+        except Exception:
+            pass
+    vs = pixels_per_s / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": f"pixels/s/chip fwd+bwd @ {n} gaussians {w}x{h}",
+        "value": round(pixels_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

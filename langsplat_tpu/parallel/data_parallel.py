@@ -1,0 +1,94 @@
+"""Data-parallel training step: views sharded across the mesh, parameters replicated,
+gradients all-reduced over ICI.
+
+Each device renders its shard of the view batch through the full differentiable
+rasterization pipeline, computes local gradients, and joins a `psum` (ICI all-reduce)
+before the (replicated) Adam update — the standard JAX DP recipe expressed with
+`shard_map`, replacing nothing in the reference (it has no distributed layer; SURVEY.md
+§2.3). Densification statistics are summed across devices the same way so clone/split
+decisions see every view's gradients, matching the sequential reference semantics of
+accumulating stats view-by-view (`/root/reference/train.py:125-126`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from langsplat_tpu.core import losses
+from langsplat_tpu.models.gaussian_field import GaussianField
+from langsplat_tpu.ops.render import RenderSettings, render
+from langsplat_tpu.train.densify import DensifyStats, update_stats
+from langsplat_tpu.train.trainer import extract_params, merge_params
+
+
+class DpStepOutput(NamedTuple):
+    field: GaussianField
+    opt_state: object
+    stats: DensifyStats
+    loss: jnp.ndarray
+
+
+def make_dp_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
+                       include_feature: bool, lambda_dssim: float = 0.2,
+                       axis: str = "data"):
+    """Build a jitted DP train step.
+
+    Batched camera arrays have leading view dim V (divisible by mesh axis size):
+      viewmats [V,4,4], projmats [V,4,4], campos [V,3], and either gt_images [V,3,H,W]
+      (RGB phase) or gt_features [V,F,H,W] + masks [V,1,H,W] (feature phase).
+    """
+
+    def shard_fn(field, opt_state, stats, viewmats, projmats, campos, gts, masks, bg):
+        params = extract_params(field, include_feature)
+        zeros2d = jnp.zeros((field.capacity, 2), jnp.float32)
+
+        def loss_fn(p, ss):
+            f = merge_params(field, p)
+
+            def one_view(view, proj, cpos, gt, mask):
+                out = render(f, settings, view, proj, cpos, bg,
+                             screenspace_offset=ss)
+                if include_feature:
+                    local = losses.masked_l1_loss(out["language_feature_image"],
+                                                  gt, mask)
+                else:
+                    l1 = losses.l1_loss(out["render"], gt)
+                    local = ((1.0 - lambda_dssim) * l1 + lambda_dssim *
+                             (1.0 - losses.ssim(out["render"], gt)))
+                return local, (out["visibility_filter"], out["radii"])
+
+            per_view, aux = jax.vmap(one_view)(viewmats, projmats, campos, gts, masks)
+            return jnp.mean(per_view), aux
+
+        (local_loss, (vis, radii)), (grads, ss_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, zeros2d)
+
+        # ICI all-reduce: average param grads; the means2D stat tap and visibility are
+        # summed so densification sees every view (reference accumulates per view)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(local_loss, axis)
+        ss_grad = jax.lax.psum(ss_grad, axis)
+        any_vis = jax.lax.psum(jnp.any(vis, axis=0).astype(jnp.int32), axis) > 0
+        max_radii = jax.lax.pmax(jnp.max(radii, axis=0), axis)
+
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_field = merge_params(field, new_params)
+        new_stats = update_stats(stats, ss_grad, any_vis, max_radii)
+        return DpStepOutput(new_field, new_opt_state, new_stats, loss)
+
+    rep = P()
+    sh = P(axis)
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, sh, rep),
+        out_specs=rep,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
