@@ -1,0 +1,244 @@
+"""Full two-phase training loop: the TPU-native `training()` (/root/reference/train.py:33).
+
+Orchestrates the jitted train steps with the host-side control the reference runs
+per-iteration: SH-degree warmup every 1k iters, random camera stack, densify/clone/
+split/prune between densify_from/until every densification_interval, opacity reset every
+opacity_reset_interval, periodic test/save/checkpoint — under the static-capacity regime:
+Adam moment rows are zeroed for churned slots and capacity grows geometrically (one
+recompile) when densification overflows.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from dataclasses import replace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from langsplat_tpu.config import TrainConfig, save_config, to_dict
+from langsplat_tpu.core import losses as loss_lib
+from langsplat_tpu.data.scene import Scene
+from langsplat_tpu.models import field_io
+from langsplat_tpu.models.gaussian_field import grow_capacity
+from langsplat_tpu.ops.render import RenderSettings, render
+from langsplat_tpu.train import densify as dn
+from langsplat_tpu.train import trainer as tr
+from langsplat_tpu.utils.logging import RunLogger, Timer
+
+
+def pad_opt_state(opt_state, old_cap: int, new_cap: int):
+    """Pad every [old_cap, ...] optimizer leaf with zero rows (capacity growth)."""
+    def pad(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == old_cap:
+            pad_block = jnp.zeros((new_cap - old_cap,) + x.shape[1:], x.dtype)
+            return jnp.concatenate([x, pad_block], axis=0)
+        return x
+    return jax.tree.map(pad, opt_state)
+
+
+def make_settings(cam, pipe, active_sh_degree: int, include_feature: bool,
+                  capacity: int) -> RenderSettings:
+    return RenderSettings(
+        image_height=cam.height, image_width=cam.width,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        sh_degree=active_sh_degree, include_feature=include_feature,
+        tile_size=pipe.tile_size, chunk=pipe.chunk,
+        budget=pipe.budget_factor * capacity,
+        max_tiles_per_gaussian=pipe.max_tiles_per_gaussian,
+        backend="tiled" if pipe.interpret else "pallas",
+        interpret=pipe.interpret)
+
+
+def training(cfg: TrainConfig) -> dict:
+    mcfg, ocfg, pipe = cfg.model, cfg.optimization, cfg.pipeline
+    include_feature = ocfg.include_feature
+    logger = RunLogger(mcfg.model_path or None, quiet=cfg.quiet)
+    rng = random.Random(cfg.seed)
+    key = jax.random.key(cfg.seed)
+
+    scene = Scene(mcfg, initial_capacity_factor=ocfg.initial_capacity_factor)
+    field = scene.gaussians
+    spatial_lr_scale = scene.cameras_extent
+    active_sh_degree = 0
+    first_iter = 0
+
+    if include_feature and not cfg.start_checkpoint:
+        raise ValueError("feature training requires a phase-A checkpoint "
+                         "(--start_checkpoint), as in the reference train.py:41-43")
+
+    if cfg.start_checkpoint:
+        loaded = np.load(cfg.start_checkpoint, allow_pickle=False)
+        # detect RGB-phase checkpoints being used to boot feature training
+        ck_has_feature = bool(loaded["__has_feature"]) if "__has_feature" in loaded \
+            else False
+        field, first_iter, spatial_lr_scale, active_sh_degree = \
+            _restore_field_only(cfg.start_checkpoint, field)
+        if include_feature and not ck_has_feature:
+            first_iter = 0  # phase handoff resets the iteration counter (train.py:46-47)
+    if include_feature:
+        field = field.with_language_feature(3, seed=cfg.seed)
+
+    optimizer = tr.make_optimizer(ocfg, spatial_lr_scale, include_feature)
+    opt_state = optimizer.init(tr.extract_params(field, include_feature))
+    stats = dn.DensifyStats.zeros(field.capacity)
+
+    if mcfg.model_path:
+        save_config(cfg, os.path.join(mcfg.model_path, "cfg_args.json"))
+
+    bg = jnp.asarray([1.0, 1.0, 1.0] if mcfg.white_background else [0.0, 0.0, 0.0])
+    viewpoint_stack: list = []
+    timer = Timer()
+    history: list[float] = []
+
+    for iteration in range(first_iter + 1, ocfg.iterations + 1):
+        if iteration % 1000 == 0 and active_sh_degree < mcfg.sh_degree:
+            active_sh_degree += 1
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(scene.get_train_cameras())
+            rng.shuffle(viewpoint_stack)
+        cam = viewpoint_stack.pop()
+
+        settings = make_settings(cam, pipe, active_sh_degree, include_feature,
+                                 field.capacity)
+        view = jnp.asarray(cam.world_view_transform)
+        proj = jnp.asarray(cam.full_proj_transform)
+        campos = jnp.asarray(cam.camera_center)
+
+        timer.start()
+        if include_feature:
+            gt_feat, gt_mask = cam.get_language_feature(mcfg.lf_path,
+                                                        mcfg.feature_level)
+            out = tr.train_step_feature(
+                field, opt_state, stats, view, proj, campos,
+                jnp.asarray(gt_feat), jnp.asarray(gt_mask), bg,
+                settings=settings, optimizer=optimizer)
+        else:
+            out = tr.train_step_rgb(
+                field, opt_state, stats, view, proj, campos,
+                jnp.asarray(cam.image), bg,
+                settings=settings, optimizer=optimizer,
+                lambda_dssim=ocfg.lambda_dssim)
+        field, opt_state, stats = out.field, out.opt_state, out.stats
+        elapsed = timer.stop(out.loss)
+
+        loss_val = float(out.loss)
+        history.append(loss_val)
+        logger.progress(iteration, loss_val,
+                        extra=f" n={int(field.num_alive)} {elapsed:.0f}ms")
+        logger.scalar("train_loss_patches/l1_loss", float(out.l1), iteration)
+        logger.scalar("train_loss_patches/total_loss", loss_val, iteration)
+        logger.scalar("iter_time", elapsed, iteration)
+
+        # Densification (phase A only, train.py:121-133)
+        if not include_feature and iteration < ocfg.densify_until_iter:
+            if (iteration > ocfg.densify_from_iter
+                    and iteration % ocfg.densification_interval == 0):
+                key, sub = jax.random.split(key)
+                use_size = iteration > ocfg.opacity_reset_interval
+                res = dn.densify_and_prune(
+                    field, stats, sub, extent=scene.cameras_extent,
+                    grad_threshold=ocfg.densify_grad_threshold,
+                    percent_dense=ocfg.percent_dense, min_opacity=0.005,
+                    use_size_threshold=use_size, size_threshold=20.0)
+                field, stats = res.field, res.stats
+                opt_state = tr.zero_moment_rows(opt_state, res.reset_mask,
+                                                field.capacity)
+                if int(res.overflow) > 0:
+                    old_cap = field.capacity
+                    new_cap = int(old_cap * ocfg.capacity_growth_factor)
+                    logger.log(f"[iter {iteration}] capacity {old_cap} -> {new_cap} "
+                               f"(overflow {int(res.overflow)})")
+                    field = grow_capacity(field, new_cap)
+                    opt_state = pad_opt_state(opt_state, old_cap, new_cap)
+                    stats = dn.DensifyStats.zeros(new_cap)
+                logger.scalar("total_points", int(res.num_alive), iteration)
+
+            if iteration % ocfg.opacity_reset_interval == 0 or (
+                    mcfg.white_background and iteration == ocfg.densify_from_iter):
+                field = dn.reset_opacity(field)
+                opt_state = tr.zero_moment_rows(
+                    opt_state, jnp.ones(field.capacity, bool), field.capacity,
+                    only_label="opacity")
+
+        if iteration in cfg.test_iterations:
+            report = evaluate_psnr(field, scene, pipe, active_sh_degree,
+                                   include_feature, bg)
+            for name, (l1v, psnrv) in report.items():
+                logger.log(f"[ITER {iteration}] Evaluating {name}: "
+                           f"L1 {l1v:.5f} PSNR {psnrv:.3f}")
+                logger.scalar(f"{name}/loss_viewpoint - l1_loss", l1v, iteration)
+                logger.scalar(f"{name}/loss_viewpoint - psnr", psnrv, iteration)
+
+        if iteration in cfg.save_iterations and mcfg.model_path:
+            logger.log(f"[ITER {iteration}] Saving Gaussians")
+            scene.save(iteration, field)
+
+        if iteration in cfg.checkpoint_iterations and mcfg.model_path:
+            logger.log(f"[ITER {iteration}] Saving Checkpoint")
+            save_training_checkpoint(
+                os.path.join(mcfg.model_path, f"chkpnt{iteration}.npz"),
+                field, iteration, spatial_lr_scale, active_sh_degree,
+                include_feature)
+
+    logger.close()
+    return {"field": field, "opt_state": opt_state, "stats": stats,
+            "scene": scene, "history": history,
+            "active_sh_degree": active_sh_degree}
+
+
+def save_training_checkpoint(path, field, step, spatial_lr_scale, active_sh_degree,
+                             has_feature):
+    flat = {}
+    leaves, _ = jax.tree.flatten(field)
+    for i, leaf in enumerate(leaves):
+        flat[f"field_{i}"] = np.asarray(leaf)
+    flat["__step"] = np.int64(step)
+    flat["__spatial_lr_scale"] = np.float64(spatial_lr_scale)
+    flat["__active_sh_degree"] = np.int64(active_sh_degree)
+    flat["__has_feature"] = np.bool_(has_feature)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def _restore_field_only(path, template):
+    """Restore a field (+ scalars) from a training checkpoint, adapting capacity."""
+    data = np.load(path, allow_pickle=False)
+    n_leaves = len([k for k in data.files if k.startswith("field_")])
+    leaves = [jnp.asarray(data[f"field_{i}"]) for i in range(n_leaves)]
+    _, treedef = jax.tree.flatten(template)
+    ck_has_feature = bool(data["__has_feature"]) if "__has_feature" in data else False
+    tmpl = template.with_language_feature(3) if ck_has_feature and \
+        template.language_feature is None else template
+    _, treedef = jax.tree.flatten(tmpl)
+    field = jax.tree.unflatten(treedef, leaves)
+    return (field, int(data["__step"]), float(data["__spatial_lr_scale"]),
+            int(data["__active_sh_degree"]))
+
+
+def evaluate_psnr(field, scene: Scene, pipe, active_sh_degree, include_feature, bg,
+                  max_train_views: int = 5) -> dict:
+    """Test-time PSNR/L1 report (reference training_report, train.py:166-202)."""
+    out = {}
+    configs = [("test", scene.get_test_cameras()),
+               ("train", scene.get_train_cameras()[:max_train_views])]
+    for name, cams in configs:
+        if not cams:
+            continue
+        l1s, psnrs = [], []
+        for cam in cams:
+            settings = make_settings(cam, pipe, active_sh_degree, include_feature,
+                                     field.capacity)
+            r = render(field, settings, jnp.asarray(cam.world_view_transform),
+                       jnp.asarray(cam.full_proj_transform),
+                       jnp.asarray(cam.camera_center), bg)
+            img = jnp.clip(r["render"], 0, 1)
+            gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
+            l1s.append(float(loss_lib.l1_loss(img, gt)))
+            psnrs.append(float(loss_lib.psnr(img, gt)))
+        out[name] = (float(np.mean(l1s)), float(np.mean(psnrs)))
+    return out

@@ -1,0 +1,73 @@
+"""Integration: full train CLI (phase A + phase B) + render CLI on a tiny synthetic
+COLMAP scene, exercising densification, opacity reset, checkpointing and the
+feature-phase handoff — on the CPU (tiled backend)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_data import make_colmap_scene
+
+
+@pytest.mark.slow
+def test_full_cli_two_phase_and_render(tmp_path):
+    root = str(tmp_path / "scene")
+    make_colmap_scene(root, n_cams=3)
+    out = str(tmp_path / "run")
+
+    # language features for phase B: 4-level seg maps + feature tables per image
+    lf_dir = os.path.join(root, "language_features_dim3")
+    os.makedirs(lf_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        seg = rng.integers(-1, 4, (4, 48, 64)).astype(np.int32)
+        feats = rng.normal(size=(4, 3)).astype(np.float32)
+        np.save(os.path.join(lf_dir, f"img_{i:03d}_s.npy"), seg)
+        np.save(os.path.join(lf_dir, f"img_{i:03d}_f.npy"), feats)
+
+    from langsplat_tpu.cli.train_cli import main as train_main
+    from langsplat_tpu.cli.render_cli import main as render_main
+
+    # phase A: RGB training with forced densify + opacity reset cycles
+    train_main([
+        "-s", root, "-m", out, "--no_include_feature", "--resolution", "1",
+        "--iterations", "30", "--interpret", "--quiet",
+        "--densify_from_iter", "5", "--densification_interval", "10",
+        "--densify_until_iter", "25", "--opacity_reset_interval", "20",
+        "--densify_grad_threshold", "0.0000001",
+        "--test_iterations", "30", "--save_iterations", "30",
+        "--checkpoint_iterations", "30", "--sh_degree", "1",
+    ])
+    phase_a_dir = out + "_-1"
+    assert os.path.exists(os.path.join(phase_a_dir, "chkpnt30.npz"))
+    assert os.path.exists(os.path.join(phase_a_dir, "point_cloud", "iteration_30",
+                                       "point_cloud.ply"))
+    assert os.path.exists(os.path.join(phase_a_dir, "cfg_args.json"))
+
+    # phase B: language features from the phase-A checkpoint
+    train_main([
+        "-s", root, "-m", out, "--resolution", "1",
+        "--iterations", "10", "--interpret", "--quiet", "--feature_level", "1",
+        "--start_checkpoint", os.path.join(phase_a_dir, "chkpnt30.npz"),
+        "--test_iterations", "999", "--save_iterations", "10",
+        "--checkpoint_iterations", "10", "--sh_degree", "1",
+    ])
+    phase_b_dir = out + "_1"
+    assert os.path.exists(os.path.join(phase_b_dir, "chkpnt10.npz"))
+
+    # render CLI: RGB
+    render_main(["-m", phase_a_dir, "-s", root, "--interpret", "--skip_test"])
+    rdir = os.path.join(phase_a_dir, "train", "ours_30")
+    renders = os.listdir(os.path.join(rdir, "renders_npy"))
+    assert len(renders) == 3
+    arr = np.load(os.path.join(rdir, "renders_npy", renders[0]))
+    assert arr.shape == (48, 64, 3)
+
+    # render CLI: language features
+    render_main(["-m", phase_b_dir, "-s", root, "--interpret", "--skip_test",
+                 "--include_feature"])
+    fdir = os.path.join(phase_b_dir, "train", "ours_10")
+    farr = np.load(os.path.join(fdir, "renders_npy",
+                                os.listdir(os.path.join(fdir, "renders_npy"))[0]))
+    assert farr.shape == (48, 64, 3)
