@@ -1,0 +1,65 @@
+"""Open-vocabulary relevancy scoring (LERF-style).
+
+Parity oracle: `/root/reference/eval/openclip_encoder.py:41-112` — for each query embed,
+pair the positive-phrase similarity with each canonical negative ("object", "things",
+"stuff", "texture"), softmax(10 * [pos, neg]) per pair, and keep the pair whose positive
+probability is LOWEST (the most adversarial negative).
+
+All jnp: the similarity products are [pixels, 512] x [512, phrases] MXU matmuls over whole
+images — this is where LangSplat's ~199x query-speed advantage over LERF comes from, and
+on TPU the entire relevancy map for an image is a single fused program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEGATIVE_PROMPTS = ("object", "things", "stuff", "texture")
+RELEVANCY_TEMPERATURE = 10.0
+
+
+@jax.jit
+def relevancy(embeds: jnp.ndarray, pos_embed: jnp.ndarray,
+              neg_embeds: jnp.ndarray) -> jnp.ndarray:
+    """[N, D] embeds, [D] positive, [M, D] negatives -> [N, 2] (pos_prob, neg_prob)
+    for the most adversarial negative."""
+    pos_sim = embeds @ pos_embed                      # [N]
+    neg_sim = embeds @ neg_embeds.T                   # [N, M]
+    pairs = jnp.stack([jnp.broadcast_to(pos_sim[:, None], neg_sim.shape), neg_sim],
+                      axis=-1)                        # [N, M, 2]
+    probs = jax.nn.softmax(RELEVANCY_TEMPERATURE * pairs, axis=-1)
+    worst = jnp.argmin(probs[..., 0], axis=1)         # [N]
+    return jnp.take_along_axis(probs, worst[:, None, None], axis=1)[:, 0, :]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def get_max_across(sem_map: jnp.ndarray, pos_embeds: jnp.ndarray,
+                   neg_embeds: jnp.ndarray) -> jnp.ndarray:
+    """[L, H, W, D] feature maps + [P, D] positives -> [L, P, H, W] relevancy maps
+    (reference get_max_across, openclip_encoder.py:96-112)."""
+    l, h, w, d = sem_map.shape
+    flat = sem_map.reshape(l, h * w, d)
+
+    def per_level(level_embeds):
+        def per_prompt(pos):
+            return relevancy(level_embeds, pos, neg_embeds)[:, 0]
+        return jax.vmap(per_prompt)(pos_embeds)       # [P, HW]
+
+    out = jax.vmap(per_level)(flat)                   # [L, P, HW]
+    return out.reshape(l, pos_embeds.shape[0], h, w)
+
+
+@jax.jit
+def semantic_map(sem_map: jnp.ndarray, semantic_embeds: jnp.ndarray,
+                 neg_embeds: jnp.ndarray) -> jnp.ndarray:
+    """[L, H, W, D] -> [L, H, W] argmax semantic ids, -1 where a negative wins
+    (reference get_semantic_map, openclip_encoder.py:82-94)."""
+    l, h, w, d = sem_map.shape
+    phrases = jnp.concatenate([semantic_embeds, neg_embeds], axis=0)
+    logits = sem_map.reshape(l, h * w, d) @ phrases.T
+    pred = jnp.argmax(jax.nn.softmax(RELEVANCY_TEMPERATURE * logits, axis=-1), axis=-1)
+    pred = jnp.where(pred >= semantic_embeds.shape[0], -1, pred)
+    return pred.reshape(l, h, w)
