@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint", type=str, default="")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=0,
+                        help="SIBR viewer bridge port (0 = disabled)")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
@@ -47,7 +50,7 @@ def main(argv=None):
                   seed=args.seed, quiet=args.quiet)
 
     from langsplat_tpu.train.loop import training
-    training(cfg)
+    training(cfg, gui_host=args.ip, gui_port=args.port)
     print("\nTraining complete.")
 
 

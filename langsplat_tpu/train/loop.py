@@ -53,12 +53,23 @@ def make_settings(cam, pipe, active_sh_degree: int, include_feature: bool,
         interpret=pipe.interpret)
 
 
-def training(cfg: TrainConfig) -> dict:
+def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
+             gui_port: int = 0) -> dict:
     mcfg, ocfg, pipe = cfg.model, cfg.optimization, cfg.pipeline
     include_feature = ocfg.include_feature
     logger = RunLogger(mcfg.model_path or None, quiet=cfg.quiet)
     rng = random.Random(cfg.seed)
     key = jax.random.key(cfg.seed)
+
+    gui = None
+    if gui_port:
+        from langsplat_tpu.utils.network_gui import NetworkGUI
+        gui = NetworkGUI()
+        try:
+            gui.init(gui_host, gui_port)
+        except OSError as e:
+            logger.log(f"network GUI disabled ({e})")
+            gui = None
 
     scene = Scene(mcfg, initial_capacity_factor=ocfg.initial_capacity_factor)
     field = scene.gaussians
@@ -95,6 +106,23 @@ def training(cfg: TrainConfig) -> dict:
     history: list[float] = []
 
     for iteration in range(first_iter + 1, ocfg.iterations + 1):
+        if gui is not None:
+            def gui_render(minicam, scale_mod):
+                s = RenderSettings(
+                    image_height=minicam.height, image_width=minicam.width,
+                    tanfovx=minicam.tanfovx, tanfovy=minicam.tanfovy,
+                    sh_degree=active_sh_degree, include_feature=False,
+                    scale_modifier=float(scale_mod), tile_size=pipe.tile_size,
+                    chunk=pipe.chunk, budget=pipe.budget_factor * field.capacity,
+                    backend="tiled" if pipe.interpret else "pallas",
+                    interpret=pipe.interpret)
+                cam_center = jnp.asarray(minicam.camera_center)
+                return render(field, s, jnp.asarray(minicam.world_view_transform),
+                              jnp.asarray(minicam.full_proj_transform),
+                              cam_center, bg)["render"]
+
+            gui.poll(gui_render, mcfg.source_path, iteration, ocfg.iterations)
+
         if iteration % 1000 == 0 and active_sh_degree < mcfg.sh_degree:
             active_sh_degree += 1
 
