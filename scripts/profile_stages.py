@@ -1,0 +1,130 @@
+"""Stage-by-stage timing of the rasterization pipeline on the current device.
+
+Isolates preprocess / binning / packing / pallas-forward / full fwd+bwd so kernel work
+can be separated from sort+gather overhead. Env: PROF_N, PROF_H, PROF_W, PROF_STEPS.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, *args, steps=5):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / steps * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from langsplat_tpu.core import transforms
+    from langsplat_tpu.ops import projection
+    from langsplat_tpu.ops.rasterize_pallas import (blend_tiles, make_blend_spec,
+                                                    pack_instances)
+    from langsplat_tpu.ops.tiles import bin_gaussians
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    n = int(os.environ.get("PROF_N", 200_000))
+    h = int(os.environ.get("PROF_H", 512))
+    w = int(os.environ.get("PROF_W", 512))
+    steps = int(os.environ.get("PROF_STEPS", 5))
+    ts, chunk = 16, 128
+    budget = 6 * n
+    fov = 0.9
+
+    rng = np.random.default_rng(0)
+    means = np.concatenate([rng.uniform(-3, 3, (n, 2)), rng.uniform(2.5, 12, (n, 1))],
+                           axis=1).astype(np.float32)
+    scales = np.exp(rng.uniform(np.log(0.002), np.log(0.02), (n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    feats = rng.normal(size=(n, 3)).astype(np.float32)
+
+    view = jnp.asarray(transforms.world_to_view(np.eye(3), np.zeros(3)).T)
+    proj = view @ jnp.asarray(transforms.projection_matrix(0.01, 100.0, fov, fov).T)
+    campos = jnp.zeros(3)
+    tanf = float(np.tan(fov / 2))
+    gx, gy = w // ts, h // ts
+    spec = make_blend_spec(image_height=h, image_width=w, tile_size=ts, chunk=chunk,
+                           num_feat=3, budget=budget)
+
+    kw = dict(image_height=h, image_width=w, tanfovx=tanf, tanfovy=tanf,
+              sh_degree=0, tile_size=ts)
+
+    @jax.jit
+    def stage_prep(m, s, q, c):
+        return projection.preprocess(m, s, q, None, view, proj, campos,
+                                     colors_precomp=c, **kw)
+
+    @jax.jit
+    def stage_bin(m, s, q, c):
+        prep = projection.preprocess(m, s, q, None, view, proj, campos,
+                                     colors_precomp=c, **kw)
+        return bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
+                             max_tiles_per_gaussian=32)
+
+    @jax.jit
+    def stage_pack(m, s, q, c, o, f):
+        prep = projection.preprocess(m, s, q, None, view, proj, campos,
+                                     colors_precomp=c, **kw)
+        inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
+                             max_tiles_per_gaussian=32)
+        return pack_instances(prep, o, f, inst, spec)
+
+    @jax.jit
+    def stage_fwd(m, s, q, c, o, f):
+        prep = projection.preprocess(m, s, q, None, view, proj, campos,
+                                     colors_precomp=c, **kw)
+        inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
+                             max_tiles_per_gaussian=32)
+        packed, p_off = pack_instances(prep, o, f, inst, spec)
+        return blend_tiles(packed, p_off, spec, False)
+
+    @jax.jit
+    def stage_fwdbwd(m, s, q, c, o, f):
+        def loss(m, s, q, c, o, f):
+            prep = projection.preprocess(m, s, q, None, view, proj, campos,
+                                         colors_precomp=c, **kw)
+            inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
+                                 max_tiles_per_gaussian=32)
+            packed, p_off = pack_instances(prep, o, f, inst, spec)
+            tiles = blend_tiles(packed, jax.lax.stop_gradient(p_off), spec, False)
+            return jnp.mean(tiles[:, :, :7] ** 2)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5))(m, s, q, c, o, f)
+
+    args4 = tuple(map(jnp.asarray, (means, scales, quats, colors)))
+    args6 = args4 + tuple(map(jnp.asarray, (opac, feats)))
+
+    inst = jax.jit(stage_bin)(*args4)
+    print(f"n={n} image={w}x{h} instances={int(inst.num_instances)} "
+          f"dropped={int(inst.dropped)}")
+    t_prep = timeit(stage_prep, *args4, steps=steps)
+    t_bin = timeit(stage_bin, *args4, steps=steps)
+    t_pack = timeit(stage_pack, *args6, steps=steps)
+    t_fwd = timeit(stage_fwd, *args6, steps=steps)
+    t_all = timeit(stage_fwdbwd, *args6, steps=steps)
+    print(f"preprocess              {t_prep:8.2f} ms")
+    print(f"+ binning (sort)        {t_bin:8.2f} ms  (delta {t_bin - t_prep:.2f})")
+    print(f"+ packing (gather)      {t_pack:8.2f} ms  (delta {t_pack - t_bin:.2f})")
+    print(f"+ pallas forward        {t_fwd:8.2f} ms  (delta {t_fwd - t_pack:.2f})")
+    print(f"full fwd+bwd            {t_all:8.2f} ms  (bwd delta {t_all - t_fwd:.2f})")
+    print(f"pixels/s fwd+bwd: {w * h / (t_all / 1e3):.3e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Aux subsystems: network GUI protocol over loopback, LPIPS distance math, logging."""
+
+import json
+import socket
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+
+from langsplat_tpu.utils.metrics import lpips_distance, normalize_tensor
+from langsplat_tpu.utils.network_gui import NetworkGUI
+
+
+def test_network_gui_roundtrip():
+    gui = NetworkGUI()
+    gui.init("127.0.0.1", 0)
+    port = gui.listener.getsockname()[1]
+
+    view = np.eye(4)
+    msg = {
+        "resolution_x": 8, "resolution_y": 6, "train": True,
+        "fov_y": 0.8, "fov_x": 0.9, "z_near": 0.01, "z_far": 100.0,
+        "shs_python": False, "rot_scale_python": False, "keep_alive": True,
+        "scaling_modifier": 1.0,
+        "view_matrix": view.reshape(-1).tolist(),
+        "view_projection_matrix": view.reshape(-1).tolist(),
+    }
+
+    results = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        payload = json.dumps(msg).encode()
+        s.sendall(len(payload).to_bytes(4, "little") + payload)
+        img = b""
+        while len(img) < 6 * 8 * 3:
+            img += s.recv(4096)
+        body = img[:6 * 8 * 3]
+        rest = img[6 * 8 * 3:]
+        while len(rest) < 4:
+            rest += s.recv(4)
+        vlen = int.from_bytes(rest[:4], "little")
+        verify = rest[4:]
+        while len(verify) < vlen:
+            verify += s.recv(vlen)
+        results["image"] = body
+        results["verify"] = verify.decode()
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    # server side: wait for connection then serve one frame
+    for _ in range(100):
+        gui.try_connect()
+        if gui.conn is not None:
+            break
+    assert gui.conn is not None
+    cam, do_training, _, _, keep_alive, scale = gui.receive()
+    assert cam.width == 8 and cam.height == 6
+    assert do_training and keep_alive and scale == 1.0
+    # Y/Z columns sign-flipped
+    np.testing.assert_array_equal(cam.world_view_transform[:, 1], [0, -1, 0, 0])
+    img = np.full((3, 6, 8), 0.5, np.float32)
+    arr = (np.clip(img, 0, 1) * 255).astype(np.uint8).transpose(1, 2, 0)
+    gui.send(memoryview(np.ascontiguousarray(arr)), "verify-string")
+    t.join(timeout=5)
+    assert results["verify"] == "verify-string"
+    assert len(results["image"]) == 6 * 8 * 3
+    gui.disconnect()
+
+
+def test_lpips_distance_properties():
+    rng = np.random.default_rng(0)
+    feats = [jnp.asarray(rng.normal(size=(8, 6, 6)).astype(np.float32))
+             for _ in range(3)]
+    lin = [jnp.ones(8) / 8 for _ in range(3)]
+    assert float(lpips_distance(feats, feats, lin)) < 1e-10
+    other = [f + 0.5 for f in feats]
+    assert float(lpips_distance(feats, other, lin)) > 0
+
+    n = normalize_tensor(feats[0])
+    np.testing.assert_allclose(np.sum(np.asarray(n) ** 2, axis=0), 1.0, rtol=1e-4)
+
+
+def test_run_logger(tmp_path, capsys):
+    from langsplat_tpu.utils.logging import RunLogger
+    lg = RunLogger(str(tmp_path), quiet=False)
+    lg.log("hello")
+    lg.scalar("x", 1.0, 0)
+    lg.progress(10, 0.5)
+    out = capsys.readouterr().out
+    assert "hello" in out and "ema_loss" in out
+    lg.close()
