@@ -90,17 +90,19 @@ def main():
 
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench_baseline.json")
-    baseline = None
+    key = f"{n}_{w}x{h}"
+    records = {}
     try:
         with open(record_path) as fh:
-            baseline = json.load(fh).get("pixels_per_s")
+            records = json.load(fh)
     except Exception:
         pass
+    baseline = records.get(key)
     if baseline is None:
+        records[key] = pixels_per_s
         try:
             with open(record_path, "w") as fh:
-                json.dump({"pixels_per_s": pixels_per_s,
-                           "config": {"n": n, "h": h, "w": w}}, fh)
+                json.dump(records, fh)
         except Exception:
             pass
     vs = pixels_per_s / baseline if baseline else 1.0
