@@ -101,6 +101,8 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
     Returns (packed [rows, aligned_budget], aligned_start [num_tiles+1] int32).
     Differentiable in the attribute arguments (gather -> scatter-add backward).
     """
+    from langsplat_tpu.ops.tiles import segment_ids_from_offsets
+
     n = prep.means2d.shape[0]
     chunk = spec.chunk
     counts = inst.tile_start[1:] - inst.tile_start[:-1]
@@ -109,8 +111,8 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
                              jnp.cumsum(padded_counts)]).astype(jnp.int32)
 
     slot = jnp.arange(spec.aligned_budget, dtype=jnp.int32)
-    t = jnp.searchsorted(p_off, slot, side="right").astype(jnp.int32) - 1
-    t = jnp.clip(t, 0, spec.num_tiles - 1)
+    t = jnp.clip(segment_ids_from_offsets(p_off[:-1], spec.aligned_budget),
+                 0, spec.num_tiles - 1)
     local = slot - p_off[t]
     valid = local < counts[t]
     src = jnp.clip(inst.tile_start[t] + local, 0, inst.gauss_id.shape[0] - 1)

@@ -34,9 +34,28 @@ class InstanceBuffer(NamedTuple):
     dropped: jnp.ndarray     # [] int32 instances lost to budget/max-tiles overflow
 
 
+def segment_ids_from_offsets(offsets: jnp.ndarray, size: int) -> jnp.ndarray:
+    """For monotone `offsets` [S] (segment starts into [0, size)), return per-position
+    segment ids: out[p] = largest s with offsets[s] <= p.
+
+    Scatter-add ones at the offset values + inclusive cumsum — O(size), replacing a
+    searchsorted whose binary search costs ~100x more on TPU (measured: 486ms -> ~5ms
+    at size=6.5M). Duplicate offsets (empty segments) resolve to the last segment,
+    which is the unique non-empty one covering p.
+    """
+    marks = jnp.zeros((size,), jnp.int32).at[offsets].add(1, mode="drop")
+    return jnp.cumsum(marks) - 1
+
+
 def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
                   max_tiles_per_gaussian: int = 32) -> InstanceBuffer:
-    """Build the sorted instance buffer from preprocess output. All shapes static."""
+    """Build the sorted instance buffer from preprocess output. All shapes static.
+
+    Instance construction is gather-based: slot s maps to its source Gaussian through a
+    cumsum over scattered segment marks (`segment_ids_from_offsets`) instead of
+    scattering N*max_tiles entries (the scatter costs ~230ms at 1M Gaussians; this
+    formulation is pure streaming passes over the budget axis).
+    """
     n = prep.means2d.shape[0]
     num_tiles = grid_x * grid_y
     tmax = max_tiles_per_gaussian
@@ -45,36 +64,31 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
     h = prep.tiles_max[:, 1] - prep.tiles_min[:, 1]
     full_count = jnp.where(prep.visible, w * h, 0)
     count = jnp.minimum(full_count, tmax)
-    offsets = jnp.cumsum(count) - count  # exclusive
+    offsets = (jnp.cumsum(count) - count).astype(jnp.int32)  # exclusive
     total = offsets[-1] + count[-1]
 
-    j = jnp.arange(tmax, dtype=jnp.int32)[None, :]           # [1, tmax]
-    w_safe = jnp.maximum(w, 1)[:, None]
-    tx = prep.tiles_min[:, 0:1] + j % w_safe
-    ty = prep.tiles_min[:, 1:2] + j // w_safe
-    valid = j < count[:, None]
-    tile_id = jnp.where(valid, ty * grid_x + tx, num_tiles)
-    slot = jnp.where(valid, offsets[:, None] + j, budget)     # OOB -> dropped
-
-    depth = jnp.broadcast_to(prep.depths[:, None], (n, tmax))
-    gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, tmax))
-
-    flat_slot = slot.reshape(-1)
-    keys_tile = jnp.full((budget,), num_tiles, jnp.int32).at[flat_slot].set(
-        tile_id.reshape(-1), mode="drop")
-    keys_depth = jnp.full((budget,), jnp.inf, depth.dtype).at[flat_slot].set(
-        depth.reshape(-1), mode="drop")
-    vals_gid = jnp.full((budget,), n, jnp.int32).at[flat_slot].set(
-        gid.reshape(-1), mode="drop")
+    # slot -> (gaussian, within-rect index) -> tile id
+    slot = jnp.arange(budget, dtype=jnp.int32)
+    in_range = slot < total
+    g = jnp.clip(segment_ids_from_offsets(offsets, budget), 0, n - 1)
+    j = slot - offsets[g]
+    w_safe = jnp.maximum(w[g], 1)
+    tx = prep.tiles_min[g, 0] + j % w_safe
+    ty = prep.tiles_min[g, 1] + j // w_safe
+    keys_tile = jnp.where(in_range, ty * grid_x + tx, num_tiles)
+    keys_depth = jnp.where(in_range, prep.depths[g], jnp.inf)
+    vals_gid = jnp.where(in_range, g, n)
 
     sorted_tile, _, sorted_gid = jax.lax.sort(
         (keys_tile, keys_depth, vals_gid), num_keys=2)
 
-    tile_start = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+    tile_start = jnp.searchsorted(sorted_tile,
+                                  jnp.arange(num_tiles + 1, dtype=jnp.int32),
                                   method="scan_unrolled").astype(jnp.int32)
 
     num_valid = jnp.minimum(total, budget)
-    dropped = (jnp.sum(full_count - count) + jnp.maximum(total - budget, 0)).astype(jnp.int32)
+    dropped = (jnp.sum(full_count - count)
+               + jnp.maximum(total - budget, 0)).astype(jnp.int32)
     return InstanceBuffer(
         gauss_id=sorted_gid,
         tile_id=sorted_tile,
