@@ -17,6 +17,8 @@ gradients flow through binning; gradients flow through the gathered values downs
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -25,13 +27,21 @@ import jax.numpy as jnp
 from langsplat_tpu.ops.projection import PreprocessOut
 
 
-class InstanceBuffer(NamedTuple):
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("gauss_id", "tile_id", "tile_start", "num_instances",
+                                "dropped", "presort_slot", "gauss_offsets"),
+                   meta_fields=("max_tiles",))
+@dataclasses.dataclass(frozen=True)
+class InstanceBuffer:
     """Depth-and-tile-sorted Gaussian instances (all static `budget`-sized)."""
     gauss_id: jnp.ndarray    # [budget] int32 index into the Gaussian axis (N for padding)
     tile_id: jnp.ndarray     # [budget] int32 sorted tile ids (num_tiles for padding)
     tile_start: jnp.ndarray  # [num_tiles + 1] int32 range starts into the sorted arrays
     num_instances: jnp.ndarray  # [] int32 valid instance count
     dropped: jnp.ndarray     # [] int32 instances lost to budget/max-tiles overflow
+    presort_slot: jnp.ndarray   # [budget] int32 strided pre-sort id g*max_tiles+j
+    gauss_offsets: jnp.ndarray  # [N + 1] int32 compacted pre-sort range per Gaussian
+    max_tiles: int = 32      # static: the stride of presort_slot
 
 
 def segment_ids_from_offsets(offsets: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -75,12 +85,31 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
     w_safe = jnp.maximum(w[g], 1)
     tx = prep.tiles_min[g, 0] + j % w_safe
     ty = prep.tiles_min[g, 1] + j // w_safe
-    keys_tile = jnp.where(in_range, ty * grid_x + tx, num_tiles)
-    keys_depth = jnp.where(in_range, prep.depths[g], jnp.inf)
+    tile_of_slot = jnp.where(in_range, ty * grid_x + tx, num_tiles)
     vals_gid = jnp.where(in_range, g, n)
 
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (keys_tile, keys_depth, vals_gid), num_keys=2)
+    # strided pre-sort instance id g*tmax + j: lets gradient reduction use a scatter-set
+    # + reshape-sum instead of a scatter-add (see rasterize_pallas._gather_attrs_bwd)
+    strided = jnp.where(in_range, g * tmax + j, n * tmax)
+
+    if n <= (1 << 20):
+        # fused single-key sort: [tile_id | depth_rank] in one uint32; depth order is
+        # encoded by ranking the per-Gaussian depths once (N-sort, much smaller than the
+        # instance sort), so the instance sort needs just one 32-bit key
+        depth_keys = jnp.where(prep.visible, prep.depths, jnp.inf)
+        _, by_depth = jax.lax.sort((depth_keys, jnp.arange(n, dtype=jnp.int32)),
+                                   num_keys=1)
+        rank = jnp.zeros((n,), jnp.int32).at[by_depth].set(
+            jnp.arange(n, dtype=jnp.int32))
+        fused = (tile_of_slot.astype(jnp.uint32) << 20) | rank[g].astype(jnp.uint32)
+        fused = jnp.where(in_range, fused, jnp.uint32(num_tiles) << 20)
+        sorted_fused, sorted_gid, sorted_presort = jax.lax.sort(
+            (fused, vals_gid, strided), num_keys=1)
+        sorted_tile = (sorted_fused >> 20).astype(jnp.int32)
+    else:
+        keys_depth = jnp.where(in_range, prep.depths[g], jnp.inf)
+        sorted_tile, _, sorted_gid, sorted_presort = jax.lax.sort(
+            (tile_of_slot, keys_depth, vals_gid, strided), num_keys=2)
 
     tile_start = jnp.searchsorted(sorted_tile,
                                   jnp.arange(num_tiles + 1, dtype=jnp.int32),
@@ -89,10 +118,14 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
     num_valid = jnp.minimum(total, budget)
     dropped = (jnp.sum(full_count - count)
                + jnp.maximum(total - budget, 0)).astype(jnp.int32)
+    gauss_offsets = jnp.concatenate([offsets, total[None].astype(jnp.int32)])
     return InstanceBuffer(
         gauss_id=sorted_gid,
         tile_id=sorted_tile,
         tile_start=tile_start,
         num_instances=num_valid.astype(jnp.int32),
         dropped=dropped,
+        presort_slot=sorted_presort,
+        gauss_offsets=gauss_offsets,
+        max_tiles=tmax,
     )
