@@ -36,9 +36,9 @@ def main():
     h = int(os.environ.get("BENCH_H", 768))
     w = int(os.environ.get("BENCH_W", 1024))
     steps = int(os.environ.get("BENCH_STEPS", 10))
-    ts = 16
+    ts = int(os.environ.get("BENCH_TS", 16))
     chunk = 128
-    budget = 6 * n
+    budget = int(float(os.environ.get("BENCH_BUDGET_FACTOR", 6)) * n)
     fov = 0.9
 
     rng = np.random.default_rng(0)

@@ -92,35 +92,44 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_attrs(max_tiles: int, attrs, gid, presort_map):
+def _gather_attrs(budget: int, attrs, gid, presort_map, gauss_offsets):
     """attrs [rows, N+1] -> packed [rows, aligned_budget] by column gather.
 
-    Custom VJP: XLA's default backward for this gather is a 6M-row scatter-ADD
-    (~640ms at 1M Gaussians). Because each Gaussian's instances have disjoint strided
-    pre-sort ids (g*max_tiles + j), the reduction instead scatter-SETs cotangent rows
-    into a [N*max_tiles, rows] buffer (disjoint -> plain set, parallel-safe) and
-    reshape-sums over the max_tiles axis — deterministic and bandwidth-bound.
+    Custom VJP: XLA's default backward for this gather is a scatter-ADD over every
+    instance (~370ms at 3M instances; TPU scatters cost ~6ns/element while permute
+    gathers cost ~0.4 and cumsums ~0.1). Instead: the VJP forward builds the inverse
+    permutation aligned-slot <- pre-sort-slot once (one int32 scatter); the backward
+    permutes the cotangent columns into pre-sort (gaussian-major) order where each
+    Gaussian's instances are contiguous, then reduces segments with one cumsum and a
+    difference at the per-Gaussian offsets — deterministic and ~5x cheaper.
     """
-    del max_tiles, presort_map
+    del budget, presort_map, gauss_offsets
     return attrs[:, gid]
 
 
-def _gather_attrs_fwd(max_tiles, attrs, gid, presort_map):
-    return attrs[:, gid], (presort_map, attrs.shape)
+def _gather_attrs_fwd(budget, attrs, gid, presort_map, gauss_offsets):
+    aligned = gid.shape[0]
+    # inverse permutation: pre-sort slot -> aligned slot (aligned = "missing")
+    inv = jnp.full((budget,), aligned, jnp.int32).at[presort_map].set(
+        jnp.arange(aligned, dtype=jnp.int32), mode="drop")
+    return attrs[:, gid], (inv, gauss_offsets, attrs.shape)
 
 
-def _gather_attrs_bwd(max_tiles, res, g):
+def _gather_attrs_bwd(budget, res, g):
     import numpy as _np
-    presort_map, attrs_shape = res
+    inv, gauss_offsets, attrs_shape = res
     rows, n1 = attrs_shape
-    n = n1 - 1
-    buf = jnp.zeros((n * max_tiles, rows), g.dtype).at[presort_map].set(
-        g.T, mode="drop")
-    seg = buf.reshape(n, max_tiles, rows).sum(axis=1)          # [N, rows]
-    d_attrs = jnp.concatenate([seg, jnp.zeros((1, rows), g.dtype)], axis=0).T
+    gz = jnp.concatenate([g, jnp.zeros((rows, 1), g.dtype)], axis=1)
+    d_pre = gz[:, inv]                                     # [rows, budget] presort order
+    csum = jnp.concatenate([jnp.zeros((rows, 1), g.dtype),
+                            jnp.cumsum(d_pre, axis=1)], axis=1)
+    ends = jnp.clip(gauss_offsets, 0, budget)
+    seg = csum[:, ends[1:]] - csum[:, ends[:-1]]           # [rows, N]
+    d_attrs = jnp.concatenate([seg, jnp.zeros((rows, 1), g.dtype)], axis=1)
     f0 = jax.dtypes.float0
-    zero_int = _np.zeros(presort_map.shape, f0)
-    return d_attrs, zero_int, zero_int
+    zero_int = _np.zeros((g.shape[1],), f0)
+    zero_off = _np.zeros((n1,), f0)
+    return d_attrs, zero_int, zero_int, zero_off
 
 
 _gather_attrs.defvjp(_gather_attrs_fwd, _gather_attrs_bwd)
@@ -151,8 +160,9 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
     local = slot - p_off[t]
     valid = local < counts[t]
     src = jnp.clip(inst.tile_start[t] + local, 0, inst.gauss_id.shape[0] - 1)
+    budget = inst.gauss_id.shape[0]
     gid = jnp.where(valid, inst.gauss_id[src], n)  # n = dead column
-    presort_map = jnp.where(valid, inst.presort_slot[src], n * inst.max_tiles)
+    presort_map = jnp.where(valid, inst.presort_slot[src], budget)
 
     means2d = prep.means2d if means2d_override is None else means2d_override
     rows = [means2d[:, 0], means2d[:, 1],
@@ -167,9 +177,10 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
     if d < spec.rows:
         attrs = jnp.concatenate(
             [attrs, jnp.zeros((spec.rows - d, n + 1), attrs.dtype)], axis=0)
-    packed = _gather_attrs(inst.max_tiles, attrs,
+    packed = _gather_attrs(budget, attrs,
                            jax.lax.stop_gradient(gid),
-                           jax.lax.stop_gradient(presort_map))
+                           jax.lax.stop_gradient(presort_map),
+                           jax.lax.stop_gradient(inst.gauss_offsets))
     return packed, p_off
 
 

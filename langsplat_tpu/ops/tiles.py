@@ -39,8 +39,8 @@ class InstanceBuffer:
     tile_start: jnp.ndarray  # [num_tiles + 1] int32 range starts into the sorted arrays
     num_instances: jnp.ndarray  # [] int32 valid instance count
     dropped: jnp.ndarray     # [] int32 instances lost to budget/max-tiles overflow
-    presort_slot: jnp.ndarray   # [budget] int32 strided pre-sort id g*max_tiles+j
-    gauss_offsets: jnp.ndarray  # [N + 1] int32 compacted pre-sort range per Gaussian
+    presort_slot: jnp.ndarray   # [budget] int32 compacted pre-sort slot (gaussian-major)
+    gauss_offsets: jnp.ndarray  # [N + 1] int32 pre-sort slot range per Gaussian
     max_tiles: int = 32      # static: the stride of presort_slot
 
 
@@ -88,9 +88,10 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
     tile_of_slot = jnp.where(in_range, ty * grid_x + tx, num_tiles)
     vals_gid = jnp.where(in_range, g, n)
 
-    # strided pre-sort instance id g*tmax + j: lets gradient reduction use a scatter-set
-    # + reshape-sum instead of a scatter-add (see rasterize_pallas._gather_attrs_bwd)
-    strided = jnp.where(in_range, g * tmax + j, n * tmax)
+    # pre-sort slot (gaussian-major compacted id): instances of one Gaussian are
+    # contiguous in this order, which the packing-gather VJP exploits to reduce
+    # gradients with a permute + cumsum + offset-diff instead of a scatter-add
+    presort = jnp.where(in_range, slot, budget)
 
     if n <= (1 << 20):
         # fused single-key sort: [tile_id | depth_rank] in one uint32; depth order is
@@ -104,12 +105,12 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
         fused = (tile_of_slot.astype(jnp.uint32) << 20) | rank[g].astype(jnp.uint32)
         fused = jnp.where(in_range, fused, jnp.uint32(num_tiles) << 20)
         sorted_fused, sorted_gid, sorted_presort = jax.lax.sort(
-            (fused, vals_gid, strided), num_keys=1)
+            (fused, vals_gid, presort), num_keys=1)
         sorted_tile = (sorted_fused >> 20).astype(jnp.int32)
     else:
         keys_depth = jnp.where(in_range, prep.depths[g], jnp.inf)
         sorted_tile, _, sorted_gid, sorted_presort = jax.lax.sort(
-            (tile_of_slot, keys_depth, vals_gid, strided), num_keys=2)
+            (tile_of_slot, keys_depth, vals_gid, presort), num_keys=2)
 
     tile_start = jnp.searchsorted(sorted_tile,
                                   jnp.arange(num_tiles + 1, dtype=jnp.int32),

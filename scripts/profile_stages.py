@@ -42,8 +42,9 @@ def main():
     h = int(os.environ.get("PROF_H", 512))
     w = int(os.environ.get("PROF_W", 512))
     steps = int(os.environ.get("PROF_STEPS", 5))
-    ts, chunk = 16, 128
-    budget = 6 * n
+    ts = int(os.environ.get("PROF_TS", 16))
+    chunk = 128
+    budget = int(float(os.environ.get("PROF_BUDGET_FACTOR", 6)) * n)
     fov = 0.9
 
     rng = np.random.default_rng(0)
@@ -59,7 +60,7 @@ def main():
     proj = view @ jnp.asarray(transforms.projection_matrix(0.01, 100.0, fov, fov).T)
     campos = jnp.zeros(3)
     tanf = float(np.tan(fov / 2))
-    gx, gy = w // ts, h // ts
+    gx, gy = -(-w // ts), -(-h // ts)
     spec = make_blend_spec(image_height=h, image_width=w, tile_size=ts, chunk=chunk,
                            num_feat=3, budget=budget)
 
