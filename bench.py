@@ -38,7 +38,8 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
     ts = int(os.environ.get("BENCH_TS", 16))
     chunk = 128
-    budget = int(float(os.environ.get("BENCH_BUDGET_FACTOR", 6)) * n)
+    budget_factor = float(os.environ.get("BENCH_BUDGET_FACTOR", 3))
+    budget = int(budget_factor * n)
     fov = 0.9
 
     rng = np.random.default_rng(0)
@@ -78,6 +79,22 @@ def main():
         return loss, grads
 
     args = tuple(map(jnp.asarray, (means, scales, quats, opac, colors, feats)))
+
+    # validate the instance budget covers this scene (no silent truncation in the bench)
+    @jax.jit
+    def count_dropped(m, s, q, c):
+        prep = projection.preprocess(
+            m, s, q, None, jnp.asarray(view), jnp.asarray(proj), jnp.asarray(campos),
+            image_height=h, image_width=w, tanfovx=tanf, tanfovy=tanf,
+            sh_degree=0, tile_size=ts, colors_precomp=c)
+        return bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
+                             max_tiles_per_gaussian=32).dropped
+
+    dropped = int(count_dropped(args[0], args[1], args[2], args[4]))
+    if dropped > 0:
+        raise RuntimeError(f"bench budget too small: {dropped} instances dropped; "
+                           f"raise BENCH_BUDGET_FACTOR")
+
     loss, grads = train_like_step(*args)
     jax.block_until_ready(loss)
 

@@ -83,6 +83,9 @@ class BlendSpec(NamedTuple):
 
 def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chunk: int,
                     num_feat: int, budget: int) -> BlendSpec:
+    if chunk % 128 != 0:
+        raise ValueError(f"chunk must be a multiple of 128 (lane tiling of the aligned "
+                         f"instance DMA), got {chunk}")
     gx = -(-image_width // tile_size)
     gy = -(-image_height // tile_size)
     # worst case every tile has a partial chunk of padding

@@ -43,7 +43,7 @@ def main():
     w = int(os.environ.get("PROF_W", 512))
     steps = int(os.environ.get("PROF_STEPS", 5))
     ts = int(os.environ.get("PROF_TS", 16))
-    chunk = 128
+    chunk = int(os.environ.get("PROF_CHUNK", 128))
     budget = int(float(os.environ.get("PROF_BUDGET_FACTOR", 6)) * n)
     fov = 0.9
 
