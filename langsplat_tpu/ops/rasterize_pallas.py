@@ -82,8 +82,13 @@ class BlendSpec(NamedTuple):
 
 
 def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chunk: int,
-                    num_feat: int, budget: int) -> BlendSpec:
-    if chunk % 128 != 0:
+                    num_feat: int, budget: int, interpret: bool = False) -> BlendSpec:
+    if chunk <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    if chunk % 128 != 0 and not interpret:
+        # On real TPU every instance DMA slices the packed buffer on the lane axis at a
+        # multiple of `chunk`; lane tiling is 128, so compiled mode requires alignment.
+        # Interpret mode (CPU tests) has no lane tiling and may use small chunks.
         raise ValueError(f"chunk must be a multiple of 128 (lane tiling of the aligned "
                          f"instance DMA), got {chunk}")
     gx = -(-image_width // tile_size)
@@ -551,7 +556,7 @@ def rasterize_pallas(
     num_feat = 0 if features is None else features.shape[1]
     spec = make_blend_spec(image_height=image_height, image_width=image_width,
                            tile_size=tile_size, chunk=chunk, num_feat=num_feat,
-                           budget=inst.gauss_id.shape[0])
+                           budget=inst.gauss_id.shape[0], interpret=interpret)
     packed, p_off = pack_instances(prep, opacities, features, inst, spec,
                                    means2d_override=means2d_override)
     tiles = blend_tiles(packed, jax.lax.stop_gradient(p_off), spec, interpret)

@@ -3,6 +3,7 @@
 import json
 import socket
 import threading
+import time
 
 import numpy as np
 import jax.numpy as jnp
@@ -54,6 +55,7 @@ def test_network_gui_roundtrip():
         gui.try_connect()
         if gui.conn is not None:
             break
+        time.sleep(0.05)
     assert gui.conn is not None
     cam, do_training, _, _, keep_alive, scale = gui.receive()
     assert cam.width == 8 and cam.height == 6
