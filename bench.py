@@ -5,6 +5,15 @@ The reference publishes no throughput number (BASELINE.json `published: {}`), so
 vs_baseline is reported against the first recorded value of this framework (1.0 when no
 prior record exists).
 
+Timing methodology (tunneled-TPU-safe): on the remote/tunneled device platform,
+dispatch is asynchronous and `block_until_ready` does not actually wait for device
+completion, so a naive same-args timing loop measures RPC latency, not compute
+(measured: ~35 ms fixed round-trip; a 30-pass elementwise chain "completed" in 0.03 ms,
+10x faster than HBM bandwidth allows). Instead each benchmark step APPLIES its
+gradients (tiny-lr SGD) and feeds the updated parameters to the next step, forcing a
+true on-device dependency chain, and the reported time is the SLOPE between a short and
+a long chain (each ending in a scalar fetch), which cancels the fixed RPC/fetch cost.
+
 Env knobs: BENCH_N (gaussians), BENCH_H/BENCH_W (image), BENCH_STEPS, BENCH_BACKEND.
 """
 
@@ -76,7 +85,10 @@ def main():
 
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
             m, s, q, o, c, f)
-        return loss, grads
+        # apply the gradients (tiny lr): the next chained step depends on this one
+        lr = 1e-9
+        new_params = tuple(p - lr * g for p, g in zip((m, s, q, o, c, f), grads))
+        return (loss,) + new_params
 
     args = tuple(map(jnp.asarray, (means, scales, quats, opac, colors, feats)))
 
@@ -95,14 +107,23 @@ def main():
         raise RuntimeError(f"bench budget too small: {dropped} instances dropped; "
                            f"raise BENCH_BUDGET_FACTOR")
 
-    loss, grads = train_like_step(*args)
-    jax.block_until_ready(loss)
+    def run_chain(k):
+        cur = args
+        loss = None
+        for _ in range(k):
+            out = train_like_step(*cur)
+            loss, cur = out[0], out[1:]
+        return float(loss)  # scalar fetch forces the whole chain
 
+    k_short = 2
+    run_chain(k_short)  # warm up compile + transfers
     t0 = time.time()
-    for _ in range(steps):
-        loss, grads = train_like_step(*args)
-    jax.block_until_ready(loss)
-    dt = (time.time() - t0) / steps
+    run_chain(k_short)
+    t_short = time.time() - t0
+    t0 = time.time()
+    run_chain(k_short + steps)
+    t_long = time.time() - t0
+    dt = max(t_long - t_short, 1e-9) / steps
     pixels_per_s = h * w / dt
 
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -18,6 +18,7 @@ All functions are pure jnp over batched leading axes; they fuse into the preproc
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -54,9 +55,12 @@ def build_covariance_3d(scales: jnp.ndarray, quats: jnp.ndarray,
     """
     R = quat_to_rotmat(quats)
     s = scale_modifier * scales
-    # R @ diag(s) then L L^T
+    # R @ diag(s) then L L^T, hand-expanded: exact f32 on the VPU (TPU matmuls default
+    # to bf16 MXU inputs, which would quantize the covariance and the blended conics)
     L = R * s[..., None, :]
-    return L @ jnp.swapaxes(L, -1, -2)
+    rows = [[sum(L[..., i, k] * L[..., j, k] for k in range(3)) for j in range(3)]
+            for i in range(3)]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
 
 
 def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from langsplat_tpu.core import sh as sh_lib
@@ -38,15 +39,25 @@ class PreprocessOut(NamedTuple):
     visible: jnp.ndarray    # [N] bool — survives cull and has nonzero radius
 
 
+def _affine4(points: jnp.ndarray, matrix: jnp.ndarray, cols: int) -> jnp.ndarray:
+    """Row-vector transform [x y z 1] @ matrix[:, :cols] as exact-f32 elementwise ops.
+
+    TPU matmuls default to bf16 MXU inputs, which quantizes projected positions to
+    ~2px at 1024-wide images and collapses nearby depths into ties (observed 37-way
+    f32-equal depth groups); a K=4 contraction is VPU work anyway, so expand it.
+    """
+    x, y, z = points[:, 0:1], points[:, 1:2], points[:, 2:3]
+    m = matrix
+    return x * m[0, :cols] + y * m[1, :cols] + z * m[2, :cols] + m[3, :cols]
+
+
 def project_points(means3d: jnp.ndarray, viewmatrix: jnp.ndarray,
                    projmatrix: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (p_view [N,3], p_ndc [N,3]). Row-vector convention."""
-    ones = jnp.ones_like(means3d[:, :1])
-    hom = jnp.concatenate([means3d, ones], axis=-1)
-    p_view = hom @ viewmatrix
-    p_hom = hom @ projmatrix
+    p_view = _affine4(means3d, viewmatrix, 3)
+    p_hom = _affine4(means3d, projmatrix, 4)
     p_ndc = p_hom[:, :3] / (p_hom[:, 3:4] + 1e-7)
-    return p_view[:, :3], p_ndc
+    return p_view, p_ndc
 
 
 def compute_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, viewmatrix: jnp.ndarray,
@@ -57,8 +68,7 @@ def compute_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, viewmatrix: jnp.ndar
     cov2d = J W Sigma W^T J^T + diag(0.3, 0.3), where W is the world->view rotation and J
     the perspective Jacobian evaluated at the (fov-clamped) view-space mean.
     """
-    ones = jnp.ones_like(means3d[:, :1])
-    t = (jnp.concatenate([means3d, ones], axis=-1) @ viewmatrix)[:, :3]
+    t = _affine4(means3d, viewmatrix, 3)
     tz = t[:, 2]
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
@@ -77,11 +87,15 @@ def compute_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, viewmatrix: jnp.ndar
     ], axis=-2)  # [N, 2, 3]
 
     W = viewmatrix[:3, :3].T  # world->view rotation acting on column vectors
-    T = J @ W  # [N, 2, 3]
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # [N, 2, 2]
-    xx = cov2d[:, 0, 0] + 0.3
-    xy = cov2d[:, 0, 1]
-    yy = cov2d[:, 1, 1] + 0.3
+    # hand-expanded [N,2,3] x [3,3] x [N,3,3] contraction: exact f32 on the VPU (TPU
+    # matmuls default to bf16 MXU inputs, and K=3 is too small to earn MXU passes)
+    T = [[sum(J[:, i, j] * W[j, k] for j in range(3)) for k in range(3)]
+         for i in range(2)]  # [2][3] of [N]
+    TS = [[sum(T[i][j] * cov3d[:, j, k] for j in range(3)) for k in range(3)]
+          for i in range(2)]  # T @ Sigma
+    xx = sum(TS[0][k] * T[0][k] for k in range(3)) + 0.3
+    xy = sum(TS[0][k] * T[1][k] for k in range(3))
+    yy = sum(TS[1][k] * T[1][k] for k in range(3)) + 0.3
     return jnp.stack([xx, xy, yy], axis=-1)
 
 

@@ -100,26 +100,23 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_attrs(budget: int, attrs, gid, presort_map, gauss_offsets):
+def _gather_attrs(budget: int, attrs, gid, inv, gauss_offsets):
     """attrs [rows, N+1] -> packed [rows, aligned_budget] by column gather.
 
-    Custom VJP: XLA's default backward for this gather is a scatter-ADD over every
-    instance (~370ms at 3M instances; TPU scatters cost ~6ns/element while permute
-    gathers cost ~0.4 and cumsums ~0.1). Instead: the VJP forward builds the inverse
-    permutation aligned-slot <- pre-sort-slot once (one int32 scatter); the backward
-    permutes the cotangent columns into pre-sort (gaussian-major) order where each
-    Gaussian's instances are contiguous, then reduces segments with one cumsum and a
-    difference at the per-Gaussian offsets — deterministic and ~5x cheaper.
+    `inv` [budget] maps each pre-sort (gaussian-major) instance slot to its aligned
+    slot (value = aligned for "missing"), built by the caller as a side product of the
+    destination scatter. Custom VJP: XLA's default backward for this gather is a
+    scatter-ADD over every instance (~370ms at 3M instances; TPU scatters cost
+    ~6ns/element while permute gathers cost ~0.4 and cumsums ~0.1). Instead the
+    backward permutes the cotangent columns into pre-sort order where each Gaussian's
+    instances are contiguous, then reduces segments with one cumsum and a difference
+    at the per-Gaussian offsets — deterministic and ~5x cheaper.
     """
-    del budget, presort_map, gauss_offsets
+    del budget, inv, gauss_offsets
     return attrs[:, gid]
 
 
-def _gather_attrs_fwd(budget, attrs, gid, presort_map, gauss_offsets):
-    aligned = gid.shape[0]
-    # inverse permutation: pre-sort slot -> aligned slot (aligned = "missing")
-    inv = jnp.full((budget,), aligned, jnp.int32).at[presort_map].set(
-        jnp.arange(aligned, dtype=jnp.int32), mode="drop")
+def _gather_attrs_fwd(budget, attrs, gid, inv, gauss_offsets):
     return attrs[:, gid], (inv, gauss_offsets, attrs.shape)
 
 
@@ -135,9 +132,10 @@ def _gather_attrs_bwd(budget, res, g):
     seg = csum[:, ends[1:]] - csum[:, ends[:-1]]           # [rows, N]
     d_attrs = jnp.concatenate([seg, jnp.zeros((rows, 1), g.dtype)], axis=1)
     f0 = jax.dtypes.float0
-    zero_int = _np.zeros((g.shape[1],), f0)
+    zero_gid = _np.zeros((g.shape[1],), f0)
+    zero_inv = _np.zeros((budget,), f0)
     zero_off = _np.zeros((n1,), f0)
-    return d_attrs, zero_int, zero_int, zero_off
+    return d_attrs, zero_gid, zero_inv, zero_off
 
 
 _gather_attrs.defvjp(_gather_attrs_fwd, _gather_attrs_bwd)
@@ -152,25 +150,36 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
 
     Returns (packed [rows, aligned_budget], aligned_start [num_tiles+1] int32).
     Differentiable in the attribute arguments (custom scatter-set backward).
+
+    Layout construction is scatter-based: each sorted instance's aligned destination
+    is `slot + (p_off[T] - tile_start[T])` with the per-tile base broadcast over the
+    budget axis by one scatter+cumsum (`propagate_to_segments`); the gaussian-id map
+    and the pre-sort inverse permutation are then each ONE budget-sized scatter —
+    cheaper than the gather formulation (segment ids + 3 aligned-size random gathers)
+    by ~2x on v5e honest chained timing.
     """
-    from langsplat_tpu.ops.tiles import segment_ids_from_offsets
+    from langsplat_tpu.ops.tiles import propagate_to_segments
 
     n = prep.means2d.shape[0]
     chunk = spec.chunk
+    budget = inst.gauss_id.shape[0]
+    aligned = spec.aligned_budget
     counts = inst.tile_start[1:] - inst.tile_start[:-1]
     padded_counts = (counts + chunk - 1) // chunk * chunk
     p_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                              jnp.cumsum(padded_counts)]).astype(jnp.int32)
 
-    slot = jnp.arange(spec.aligned_budget, dtype=jnp.int32)
-    t = jnp.clip(segment_ids_from_offsets(p_off[:-1], spec.aligned_budget),
-                 0, spec.num_tiles - 1)
-    local = slot - p_off[t]
-    valid = local < counts[t]
-    src = jnp.clip(inst.tile_start[t] + local, 0, inst.gauss_id.shape[0] - 1)
-    budget = inst.gauss_id.shape[0]
-    gid = jnp.where(valid, inst.gauss_id[src], n)  # n = dead column
-    presort_map = jnp.where(valid, inst.presort_slot[src], budget)
+    # aligned destination of every sorted instance; the tail (sorted slots past the
+    # last tile range, all padding) lands past p_off[-1], inside aligned capacity
+    slot = jnp.arange(budget, dtype=jnp.int32)
+    base = propagate_to_segments(inst.tile_start,
+                                 (p_off - inst.tile_start)[None, :], budget)[0]
+    dst = slot + base
+    gid = jnp.full((aligned,), n, jnp.int32).at[dst].set(inst.gauss_id, mode="drop")
+    # inverse permutation: pre-sort slot -> aligned slot (aligned = "missing");
+    # padding instances carry presort_slot == budget and are dropped
+    inv = jnp.full((budget,), aligned, jnp.int32).at[inst.presort_slot].set(
+        dst, mode="drop")
 
     means2d = prep.means2d if means2d_override is None else means2d_override
     rows = [means2d[:, 0], means2d[:, 1],
@@ -187,7 +196,7 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
             [attrs, jnp.zeros((spec.rows - d, n + 1), attrs.dtype)], axis=0)
     packed = _gather_attrs(budget, attrs,
                            jax.lax.stop_gradient(gid),
-                           jax.lax.stop_gradient(presort_map),
+                           jax.lax.stop_gradient(inv),
                            jax.lax.stop_gradient(inst.gauss_offsets))
     return packed, p_off
 

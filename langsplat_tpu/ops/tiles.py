@@ -57,14 +57,33 @@ def segment_ids_from_offsets(offsets: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.cumsum(marks) - 1
 
 
+def propagate_to_segments(offsets: jnp.ndarray, values: jnp.ndarray,
+                          size: int) -> jnp.ndarray:
+    """Broadcast per-segment int values to every position of the segment.
+
+    `offsets` [S] are monotone segment starts into [0, size); `values` [C, S] int32.
+    Returns [C, size] where out[c, p] = values[c, s(p)] with s(p) the covering segment.
+    One batched scatter of first-order deltas + one batched cumsum — measured ~6x
+    cheaper than per-position gathers `values[:, s]` on TPU v5e (random gathers cost
+    ~10 ns/element; cumsum passes ~0.1). Duplicate offsets (empty segments) telescope
+    to the last segment's value, matching gather semantics.
+    """
+    deltas = values - jnp.concatenate(
+        [jnp.zeros((values.shape[0], 1), values.dtype), values[:, :-1]], axis=1)
+    grid = jnp.zeros((values.shape[0], size), values.dtype).at[:, offsets].add(
+        deltas, mode="drop")
+    return jnp.cumsum(grid, axis=1)
+
+
 def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
                   max_tiles_per_gaussian: int = 32) -> InstanceBuffer:
     """Build the sorted instance buffer from preprocess output. All shapes static.
 
-    Instance construction is gather-based: slot s maps to its source Gaussian through a
-    cumsum over scattered segment marks (`segment_ids_from_offsets`) instead of
-    scattering N*max_tiles entries (the scatter costs ~230ms at 1M Gaussians; this
-    formulation is pure streaming passes over the budget axis).
+    Instance construction is propagation-based: every per-Gaussian quantity a slot
+    needs (segment id, segment start, rect width/corner, depth rank) is broadcast to
+    the budget axis with ONE batched scatter+cumsum (`propagate_to_segments`) instead
+    of budget-sized random gathers — gathers measured ~10 ns/element on v5e, making
+    4-5 of them ~60 ms at 1.2M slots, vs ~10 ms for the whole propagated construction.
     """
     n = prep.means2d.shape[0]
     num_tiles = grid_x * grid_y
@@ -77,14 +96,34 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
     offsets = (jnp.cumsum(count) - count).astype(jnp.int32)  # exclusive
     total = offsets[-1] + count[-1]
 
-    # slot -> (gaussian, within-rect index) -> tile id
+    rank_bits = max(1, (n - 1).bit_length())
+    tile_bits = (num_tiles).bit_length()  # must hold the num_tiles padding sentinel
+    fused_path = rank_bits + tile_bits <= 32
+    if fused_path:
+        # depth order is encoded by ranking the per-Gaussian depths once (N-sort,
+        # much smaller than the instance sort), so the instance sort needs just one
+        # 32-bit [tile | rank] key
+        # stable: equal depths tie-break by Gaussian index, matching the dense oracle
+        # (and the CUDA radix sort) so blend order is deterministic under ties
+        depth_keys = jnp.where(prep.visible, prep.depths, jnp.inf)
+        _, by_depth = jax.lax.sort((depth_keys, jnp.arange(n, dtype=jnp.int32)),
+                                   num_keys=1, is_stable=True)
+        rank = jnp.zeros((n,), jnp.int32).at[by_depth].set(
+            jnp.arange(n, dtype=jnp.int32))
+    else:
+        rank = jnp.zeros((n,), jnp.int32)
+
+    seg = jnp.arange(1, n + 1, dtype=jnp.int32)
+    vals = jnp.stack([seg, offsets, jnp.maximum(w, 1),
+                      prep.tiles_min[:, 0], prep.tiles_min[:, 1], rank], axis=0)
+    acc = propagate_to_segments(offsets, vals, budget)
+
     slot = jnp.arange(budget, dtype=jnp.int32)
     in_range = slot < total
-    g = jnp.clip(segment_ids_from_offsets(offsets, budget), 0, n - 1)
-    j = slot - offsets[g]
-    w_safe = jnp.maximum(w[g], 1)
-    tx = prep.tiles_min[g, 0] + j % w_safe
-    ty = prep.tiles_min[g, 1] + j // w_safe
+    g = jnp.clip(acc[0] - 1, 0, n - 1)
+    j = slot - acc[1]
+    tx = acc[3] + j % acc[2]
+    ty = acc[4] + j // acc[2]
     tile_of_slot = jnp.where(in_range, ty * grid_x + tx, num_tiles)
     vals_gid = jnp.where(in_range, g, n)
 
@@ -93,20 +132,18 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
     # gradients with a permute + cumsum + offset-diff instead of a scatter-add
     presort = jnp.where(in_range, slot, budget)
 
-    if n <= (1 << 20):
-        # fused single-key sort: [tile_id | depth_rank] in one uint32; depth order is
-        # encoded by ranking the per-Gaussian depths once (N-sort, much smaller than the
-        # instance sort), so the instance sort needs just one 32-bit key
-        depth_keys = jnp.where(prep.visible, prep.depths, jnp.inf)
-        _, by_depth = jax.lax.sort((depth_keys, jnp.arange(n, dtype=jnp.int32)),
-                                   num_keys=1)
-        rank = jnp.zeros((n,), jnp.int32).at[by_depth].set(
-            jnp.arange(n, dtype=jnp.int32))
-        fused = (tile_of_slot.astype(jnp.uint32) << 20) | rank[g].astype(jnp.uint32)
-        fused = jnp.where(in_range, fused, jnp.uint32(num_tiles) << 20)
+    if fused_path:
+        # one fused u32 key; the two payloads ride the sort — carrying values through
+        # lax.sort is cheap on TPU, while recomputing them from the sorted key would
+        # need budget-sized random gathers. Keys are unique (one rank per Gaussian,
+        # one tile per instance) so the sort may be unstable.
+        fused = (tile_of_slot.astype(jnp.uint32) << rank_bits) | acc[5].astype(
+            jnp.uint32)
+        pad_key = jnp.uint32(num_tiles) << rank_bits
+        fused = jnp.where(in_range, fused, pad_key)
         sorted_fused, sorted_gid, sorted_presort = jax.lax.sort(
-            (fused, vals_gid, presort), num_keys=1)
-        sorted_tile = (sorted_fused >> 20).astype(jnp.int32)
+            (fused, vals_gid, presort), num_keys=1, is_stable=False)
+        sorted_tile = (sorted_fused >> rank_bits).astype(jnp.int32)
     else:
         keys_depth = jnp.where(in_range, prep.depths[g], jnp.inf)
         sorted_tile, _, sorted_gid, sorted_presort = jax.lax.sort(

@@ -2,6 +2,13 @@
 
 Isolates preprocess / binning / packing / pallas-forward / full fwd+bwd so kernel work
 can be separated from sort+gather overhead. Env: PROF_N, PROF_H, PROF_W, PROF_STEPS.
+
+Timing methodology: on the tunneled TPU platform `block_until_ready` does NOT wait for
+device completion (async dispatch; ~35 ms fixed RPC latency dominates naive loops), so
+each stage is timed as a dependency CHAIN — the stage's reduced output perturbs the
+next iteration's input by 1e-30, outputs pass through an optimization_barrier so they
+are materialized — and the reported time is the slope between a 1-step and a
+(1+steps)-step chain, each ending in a scalar fetch. See bench.py for the calibration.
 """
 
 import os
@@ -14,14 +21,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, steps=5):
+    """Chained slope timing: fn's first positional arg gets a 1e-30 seed perturbation."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(seed, *a):
+        a = (a[0] + seed * 1e-30,) + a[1:]
+        out = fn(*a)
+        leaves = jax.lax.optimization_barrier(
+            [x for x in jax.tree_util.tree_leaves(out)
+             if hasattr(x, "dtype")])
+        red = sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+        return red * 1e-30
+
+    def chain(k):
+        seed = jnp.zeros(())
+        for _ in range(k):
+            seed = step(seed, *args)
+        return float(seed)
+
+    chain(1)  # warm up
     t0 = time.time()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / steps * 1e3
+    chain(1)
+    t1 = time.time() - t0
+    t0 = time.time()
+    chain(1 + steps)
+    t2 = time.time() - t0
+    return max(t2 - t1, 0.0) / steps * 1e3
 
 
 def main():
