@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from langsplat_tpu.config import TrainConfig, save_config, to_dict
 from langsplat_tpu.core import losses as loss_lib
+from langsplat_tpu.data.prefetch import FeaturePrefetcher
 from langsplat_tpu.data.scene import Scene
 from langsplat_tpu.models import field_io
 from langsplat_tpu.models.gaussian_field import grow_capacity
@@ -104,6 +105,10 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
     viewpoint_stack: list = []
     timer = Timer()
     history: list[float] = []
+    # async decode + host->device staging of the next view's feature maps (the
+    # reference re-reads them from disk synchronously every iteration, train.py:96)
+    prefetcher = FeaturePrefetcher(mcfg.lf_path, mcfg.feature_level) \
+        if include_feature else None
 
     for iteration in range(first_iter + 1, ocfg.iterations + 1):
         if gui is not None:
@@ -130,6 +135,8 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
             viewpoint_stack = list(scene.get_train_cameras())
             rng.shuffle(viewpoint_stack)
         cam = viewpoint_stack.pop()
+        if prefetcher is not None and viewpoint_stack:
+            prefetcher.schedule(viewpoint_stack[-1])
 
         settings = make_settings(cam, pipe, active_sh_degree, include_feature,
                                  field.capacity)
@@ -139,11 +146,10 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
 
         timer.start()
         if include_feature:
-            gt_feat, gt_mask = cam.get_language_feature(mcfg.lf_path,
-                                                        mcfg.feature_level)
+            gt_feat, gt_mask = prefetcher.get(cam)
             out = tr.train_step_feature(
                 field, opt_state, stats, view, proj, campos,
-                jnp.asarray(gt_feat), jnp.asarray(gt_mask), bg,
+                gt_feat, gt_mask, bg,
                 settings=settings, optimizer=optimizer)
         else:
             out = tr.train_step_rgb(
@@ -213,6 +219,8 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                 field, iteration, spatial_lr_scale, active_sh_degree,
                 include_feature)
 
+    if prefetcher is not None:
+        prefetcher.close()
     logger.close()
     return {"field": field, "opt_state": opt_state, "stats": stats,
             "scene": scene, "history": history,
