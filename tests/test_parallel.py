@@ -114,3 +114,78 @@ def test_dp_feature_step_runs():
     assert np.isfinite(float(out.loss))
     # geometry untouched
     np.testing.assert_array_equal(np.asarray(out.field.xyz), np.asarray(field.xyz))
+
+
+def test_dp_spatial_2d_mesh_matches_dp():
+    """2D ('data','tiles') step == plain DP step when lambda_dssim=0 (band-exact L1)."""
+    from langsplat_tpu.parallel.dp_spatial import make_dp_spatial_train_step
+
+    mesh2d = make_mesh(8, axis_names=("data", "tiles"))
+    assert dict(zip(mesh2d.axis_names, mesh2d.devices.shape)) == {
+        "data": 2, "tiles": 4}
+    mesh1d = make_mesh(8)
+    h, w = 32, 32
+    v = 2
+    views, projs, cpos, tanf = batched_cameras(v=8, w=w, h=h)
+    views, projs, cpos = views[:v], projs[:v], cpos[:v]
+    settings = RenderSettings(image_height=h, image_width=w, tanfovx=tanf,
+                              tanfovy=tanf, sh_degree=0, include_feature=False,
+                              tile_size=16, backend="tiled", max_per_tile=128,
+                              budget=1024)
+    bg = jnp.zeros(3)
+    gt_field = make_field(n=12, cap=32, seed=3)
+    gts = jnp.stack([
+        render(gt_field, settings, views[i], projs[i], cpos[i], bg)["render"]
+        for i in range(v)])
+    masks = jnp.ones((v, 1, 1, 1))
+
+    from dataclasses import replace
+    rng = np.random.default_rng(0)
+    field = replace(gt_field, xyz=gt_field.xyz + jnp.asarray(
+        rng.normal(0, 0.08, (32, 3)).astype(np.float32)))
+
+    cfg = OptimizationConfig()
+    opt = tr.make_optimizer(cfg, spatial_lr_scale=1.0, include_feature=False)
+    opt_state = opt.init(tr.extract_params(field, include_feature=False))
+    stats = dn.DensifyStats.zeros(32)
+
+    step2d = make_dp_spatial_train_step(mesh2d, settings, opt,
+                                        include_feature=False, lambda_dssim=0.0)
+    out2d = step2d(field, opt_state, stats, views, projs, cpos, gts, masks, bg)
+    assert np.isfinite(float(out2d.loss))
+
+    # oracle: plain DP over 2 devices with the same batch and lambda_dssim=0
+    mesh_small = make_mesh(2)
+    step1d = make_dp_train_step(mesh_small, settings, opt, include_feature=False,
+                                lambda_dssim=0.0)
+    out1d = step1d(field, opt_state, stats, views, projs, cpos, gts, masks, bg)
+    np.testing.assert_allclose(float(out2d.loss), float(out1d.loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2d.field.xyz),
+                               np.asarray(out1d.field.xyz), atol=2e-6)
+    # densify stats identical (band psums reassemble the full-view tap)
+    np.testing.assert_allclose(np.asarray(out2d.stats.grad_accum),
+                               np.asarray(out1d.stats.grad_accum), atol=1e-6)
+
+
+def test_dp_spatial_feature_phase_runs():
+    from langsplat_tpu.parallel.dp_spatial import make_dp_spatial_train_step
+
+    mesh2d = make_mesh(8, axis_names=("data", "tiles"))
+    h, w = 48, 32  # 3 tile rows over 4 bands: exercises the padded-band path
+    views, projs, cpos, tanf = batched_cameras(v=2, w=w, h=h)
+    settings = RenderSettings(image_height=h, image_width=w, tanfovx=tanf,
+                              tanfovy=tanf, sh_degree=0, include_feature=True,
+                              tile_size=16, backend="tiled", max_per_tile=128,
+                              budget=1024)
+    bg = jnp.zeros(3)
+    field = make_field(n=12, cap=32, seed=5).with_language_feature(3)
+    gts = jnp.ones((2, 3, h, w)) * 0.2
+    masks = jnp.ones((2, 1, h, w))
+    cfg = OptimizationConfig()
+    opt = tr.make_optimizer(cfg, spatial_lr_scale=1.0, include_feature=True)
+    opt_state = opt.init(tr.extract_params(field, True))
+    stats = dn.DensifyStats.zeros(32)
+    step = make_dp_spatial_train_step(mesh2d, settings, opt, include_feature=True)
+    out = step(field, opt_state, stats, views, projs, cpos, gts, masks, bg)
+    assert np.isfinite(float(out.loss))
+    np.testing.assert_array_equal(np.asarray(out.field.xyz), np.asarray(field.xyz))
