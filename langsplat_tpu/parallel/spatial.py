@@ -33,25 +33,22 @@ def band_height(settings: RenderSettings, n_bands: int) -> int:
     return rows_per_band * settings.tile_size
 
 
-def render_band(field, settings: RenderSettings, band_index, n_bands: int,
-                viewmatrix, projmatrix, campos, bg_color,
-                screenspace_offset=None) -> dict:
-    """Render tile rows [band_index*rows_per_band, ...) of the image.
+def band_from_prep(prep, opacity, features, settings: RenderSettings, band_index,
+                   n_bands: int, bg_color, *, budget: int,
+                   screenspace_offset=None) -> dict:
+    """Bin + blend tile rows [band_index*rows_per_band, ...) from full-image
+    preprocess output.
 
-    Returns band images [C, band_h, W]; rows past the true image height are background.
+    `prep` is a full-image PreprocessOut over the (global) Gaussian axis; `opacity`
+    [N] and `features` [N, F] or None are the activated blend inputs. Returns band
+    images [C, band_h, W]; rows past the true image height are background. The band
+    view of the preprocess output is a pure index shift, so autodiff through it is
+    exact. Split out of `render_band` so the gauss-sharded path can blend a band from
+    an all-gathered preprocess (parallel/gauss_sharded.py).
     """
     bh = band_height(settings, n_bands)
     rows_per_band = bh // settings.tile_size
     y0 = band_index * bh
-
-    shs = field.get_features
-    prep = projection.preprocess(
-        field.xyz, field.get_scaling, field.rotation, shs,
-        viewmatrix, projmatrix, campos,
-        image_height=settings.image_height, image_width=settings.image_width,
-        tanfovx=settings.tanfovx, tanfovy=settings.tanfovy,
-        sh_degree=settings.sh_degree, tile_size=settings.tile_size,
-        scale_modifier=settings.scale_modifier, alive=field.alive)
 
     # shift into band-local coordinates and clip tile rects to the band
     means2d = prep.means2d - jnp.stack([jnp.zeros_like(y0, prep.means2d.dtype),
@@ -71,28 +68,19 @@ def render_band(field, settings: RenderSettings, band_index, n_bands: int,
     if screenspace_offset is not None:
         means2d = means2d + screenspace_offset
 
-    cap = field.xyz.shape[0]
-    budget = (settings.budget or 6 * cap) // n_bands
     inst = bin_gaussians(jax.tree.map(jax.lax.stop_gradient, band_prep),
                          grid_x=settings.grid_x, grid_y=rows_per_band,
                          budget=budget,
                          max_tiles_per_gaussian=settings.max_tiles_per_gaussian)
 
-    features = None
-    if settings.include_feature:
-        lf = field.get_language_feature
-        norm = jnp.sqrt(jnp.sum(lf * lf, axis=-1, keepdims=True) + 1e-18)
-        features = lf / (norm + 1e-9)
-
-    opac = field.get_opacity[:, 0]
     if settings.backend == "tiled":
-        out = rasterize_tiled(band_prep._replace(means2d=means2d), inst, opac,
+        out = rasterize_tiled(band_prep._replace(means2d=means2d), inst, opacity,
                               features, bg_color,
                               image_height=bh, image_width=settings.image_width,
                               tile_size=settings.tile_size,
                               max_per_tile=settings.max_per_tile)
     else:
-        out = rasterize_pallas(band_prep, inst, opac, features, bg_color,
+        out = rasterize_pallas(band_prep, inst, opacity, features, bg_color,
                                image_height=bh, image_width=settings.image_width,
                                tile_size=settings.tile_size, chunk=settings.chunk,
                                interpret=settings.interpret,
@@ -101,6 +89,35 @@ def render_band(field, settings: RenderSettings, band_index, n_bands: int,
     out["visibility_filter"] = band_prep.radii > 0
     out["instances_dropped"] = inst.dropped
     return out
+
+
+def render_band(field, settings: RenderSettings, band_index, n_bands: int,
+                viewmatrix, projmatrix, campos, bg_color,
+                screenspace_offset=None) -> dict:
+    """Render tile rows [band_index*rows_per_band, ...) of the image.
+
+    Returns band images [C, band_h, W]; rows past the true image height are background.
+    """
+    shs = field.get_features
+    prep = projection.preprocess(
+        field.xyz, field.get_scaling, field.rotation, shs,
+        viewmatrix, projmatrix, campos,
+        image_height=settings.image_height, image_width=settings.image_width,
+        tanfovx=settings.tanfovx, tanfovy=settings.tanfovy,
+        sh_degree=settings.sh_degree, tile_size=settings.tile_size,
+        scale_modifier=settings.scale_modifier, alive=field.alive)
+
+    features = None
+    if settings.include_feature:
+        lf = field.get_language_feature
+        norm = jnp.sqrt(jnp.sum(lf * lf, axis=-1, keepdims=True) + 1e-18)
+        features = lf / (norm + 1e-9)
+
+    cap = field.xyz.shape[0]
+    budget = (settings.budget or 6 * cap) // n_bands
+    return band_from_prep(prep, field.get_opacity[:, 0], features, settings,
+                          band_index, n_bands, bg_color, budget=budget,
+                          screenspace_offset=screenspace_offset)
 
 
 def make_spatial_render(mesh: Mesh, settings: RenderSettings, axis: str = "tiles"):
