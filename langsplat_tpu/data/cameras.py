@@ -59,10 +59,20 @@ class Camera:
         feature_level: 0=default, 1=s, 2=m, 3=l SAM granularity.
         """
         base = os.path.join(language_feature_dir, self.image_name)
-        seg_map = np.load(base + "_s.npy")          # [4, H', W'] int
-        feature_map = np.load(base + "_f.npy")      # [M, F]
         if not 0 <= feature_level <= 3:
             raise ValueError(f"feature_level={feature_level}")
+
+        # fast path: the native C++ loader (mmap + fused multithreaded gather,
+        # langsplat_tpu/native) serves the common case — matching resolution,
+        # int16/32/64 seg, fp16/fp32 features — bit-identically; anything it cannot
+        # serve falls through to the numpy implementation below
+        native_out = _native_language_feature(base, feature_level,
+                                              self.height, self.width)
+        if native_out is not None:
+            return native_out
+
+        seg_map = np.load(base + "_s.npy")          # [4, H', W'] int
+        feature_map = np.load(base + "_f.npy")      # [M, F]
         seg = seg_map[feature_level]
         if seg.shape != (self.height, self.width):
             # the reference assumes seg maps match the camera resolution and crashes
@@ -77,6 +87,22 @@ class Camera:
         feature = feature_map[np.clip(seg, 0, len(feature_map) - 1)]  # [H, W, F]
         feature = np.where(mask[0][..., None] > 0, feature, 0.0)
         return feature.transpose(2, 0, 1).astype(np.float32), mask
+
+
+def _native_language_feature(base: str, feature_level: int, height: int,
+                             width: int) -> tuple[np.ndarray, np.ndarray] | None:
+    """Try the native loader; None when it cannot serve this input."""
+    from langsplat_tpu import native
+
+    seg_path, feat_path = base + "_s.npy", base + "_f.npy"
+    probe = native.npy_shape(feat_path)
+    if probe is None:
+        return None
+    feat_shape, _ = probe
+    if len(feat_shape) != 2:
+        return None
+    return native.gather_language_feature(seg_path, feat_path, feature_level,
+                                          height, width, feat_shape[1])
 
 
 def load_camera(info, resolution_scale: float, resolution: int,
