@@ -191,13 +191,17 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
     attrs = jnp.stack(rows, axis=0)  # [d, n]
     d = attrs.shape[0]
     attrs = jnp.concatenate([attrs, jnp.zeros((d, 1), attrs.dtype)], axis=1)
-    if d < spec.rows:
-        attrs = jnp.concatenate(
-            [attrs, jnp.zeros((spec.rows - d, n + 1), attrs.dtype)], axis=0)
     packed = _gather_attrs(budget, attrs,
                            jax.lax.stop_gradient(gid),
                            jax.lax.stop_gradient(inv),
                            jax.lax.stop_gradient(inst.gauss_offsets))
+    if d < spec.rows:
+        # sublane padding rows are constant zero: append AFTER the gather so the
+        # budget-sized gather (fwd) and permute+cumsum reduction (bwd) only touch
+        # live rows; concatenate's VJP slices the pad rows' cotangent off for free
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((spec.rows - d, packed.shape[1]), packed.dtype)],
+            axis=0)
     return packed, p_off
 
 

@@ -46,15 +46,22 @@ class InstanceBuffer:
 
 def segment_ids_from_offsets(offsets: jnp.ndarray, size: int) -> jnp.ndarray:
     """For monotone `offsets` [S] (segment starts into [0, size)), return per-position
-    segment ids: out[p] = largest s with offsets[s] <= p.
+    segment ids: out[p] = largest s with offsets[s] <= p (clipped to 0 below offsets[0]).
 
-    Scatter-add ones at the offset values + inclusive cumsum — O(size), replacing a
-    searchsorted whose binary search costs ~100x more on TPU (measured: 486ms -> ~5ms
-    at size=6.5M). Duplicate offsets (empty segments) resolve to the last segment,
-    which is the unique non-empty one covering p.
+    Scatter-SET the segment index at each segment start + an inclusive cummax —
+    O(size) with no combining scatter: XLA scatter-add/mul combiners measured
+    ~8 ns/element on TPU while scatter-set runs at ~0.1 (and searchsorted's binary
+    search ~100x worse still). Duplicate offsets (empty segments) are resolved on
+    the small S axis first — only the LAST segment at a given start writes — so the
+    set never sees duplicate indices (whose XLA ordering is unspecified).
     """
-    marks = jnp.zeros((size,), jnp.int32).at[offsets].add(1, mode="drop")
-    return jnp.cumsum(marks) - 1
+    s = offsets.shape[0]
+    is_last = jnp.concatenate([offsets[1:] != offsets[:-1],
+                               jnp.ones((1,), bool)])
+    dst = jnp.where(is_last, offsets, size)  # non-last duplicates dropped
+    marks = jnp.full((size,), -1, jnp.int32).at[dst].set(
+        jnp.arange(s, dtype=jnp.int32), mode="drop")
+    return jnp.clip(jax.lax.cummax(marks), 0, s - 1)
 
 
 def propagate_to_segments(offsets: jnp.ndarray, values: jnp.ndarray,
@@ -63,16 +70,30 @@ def propagate_to_segments(offsets: jnp.ndarray, values: jnp.ndarray,
 
     `offsets` [S] are monotone segment starts into [0, size); `values` [C, S] int32.
     Returns [C, size] where out[c, p] = values[c, s(p)] with s(p) the covering segment.
-    One batched scatter of first-order deltas + one batched cumsum — measured ~6x
-    cheaper than per-position gathers `values[:, s]` on TPU v5e (random gathers cost
-    ~10 ns/element; cumsum passes ~0.1). Duplicate offsets (empty segments) telescope
-    to the last segment's value, matching gather semantics.
+    One batched scatter of first-order deltas + one batched cumsum. The scatter is a
+    SET, not an ADD: TPU combining scatters cost ~50 ns per index while set-scatters
+    and cumsum passes are bandwidth-bound (~10 ms vs ~1.5 ms at S=200k, B=1.2M, C=6
+    on v5e) — so duplicate offsets (empty segments), which the add-combiner used to
+    telescope implicitly, are pre-resolved on the small S axis: only the LAST segment
+    at a given start writes, and its delta is taken against the previous WRITTEN
+    segment's value. Positions before offsets[0] get 0, and every covered position
+    gets the covering (last-duplicate) segment's value — gather semantics.
     """
-    deltas = values - jnp.concatenate(
-        [jnp.zeros((values.shape[0], 1), values.dtype), values[:, :-1]], axis=1)
-    grid = jnp.zeros((values.shape[0], size), values.dtype).at[:, offsets].add(
-        deltas, mode="drop")
-    return jnp.cumsum(grid, axis=1)
+    c, s = values.shape
+    if s <= 16384:
+        # small S: combining-scatter cost (~50 ns per INDEX on v5e) is negligible;
+        # the delta formulation avoids the big-axis gather entirely (~0.4 ms vs
+        # ~7.5 ms for the gather path at S=3k, B=1.2M — single-sublane gather
+        # outputs tile badly)
+        deltas = values - jnp.concatenate(
+            [jnp.zeros((c, 1), values.dtype), values[:, :-1]], axis=1)
+        grid = jnp.zeros((c, size), values.dtype).at[:, offsets].add(
+            deltas, mode="drop")
+        return jnp.cumsum(grid, axis=1)
+    # large S: one set-scatter + cummax for segment ids, then row gathers
+    # (~2.3 ms vs ~11 ms for the delta-add at S=200k, B=1.2M, C=6 on v5e)
+    seg = segment_ids_from_offsets(offsets, size)
+    return values[:, seg]
 
 
 def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
