@@ -47,8 +47,6 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
     ts = int(os.environ.get("BENCH_TS", 16))
     chunk = 128
-    budget_factor = float(os.environ.get("BENCH_BUDGET_FACTOR", 3))
-    budget = int(budget_factor * n)
     fov = 0.9
 
     rng = np.random.default_rng(0)
@@ -92,7 +90,24 @@ def main():
 
     args = tuple(map(jnp.asarray, (means, scales, quats, opac, colors, feats)))
 
-    # validate the instance budget covers this scene (no silent truncation in the bench)
+    # size the budget from the measured instance count (the trainer's adaptive-budget
+    # policy, BudgetPolicy in train/loop.py), then validate nothing is dropped —
+    # no silent truncation in the bench
+    env_budget = os.environ.get("BENCH_BUDGET")
+
+    @jax.jit
+    def probe_count(m, s, q, c):
+        prep = projection.preprocess(
+            m, s, q, None, jnp.asarray(view), jnp.asarray(proj), jnp.asarray(campos),
+            image_height=h, image_width=w, tanfovx=tanf, tanfovy=tanf,
+            sh_degree=0, tile_size=ts, colors_precomp=c)
+        tw = prep.tiles_max[:, 0] - prep.tiles_min[:, 0]
+        th = prep.tiles_max[:, 1] - prep.tiles_min[:, 1]
+        return jnp.sum(jnp.where(prep.visible, jnp.minimum(tw * th, 32), 0))
+
+    measured = int(probe_count(args[0], args[1], args[2], args[4]))
+    budget = int(env_budget) if env_budget else -(-int(measured * 1.1) // 4096) * 4096
+
     @jax.jit
     def count_dropped(m, s, q, c):
         prep = projection.preprocess(
@@ -104,8 +119,8 @@ def main():
 
     dropped = int(count_dropped(args[0], args[1], args[2], args[4]))
     if dropped > 0:
-        raise RuntimeError(f"bench budget too small: {dropped} instances dropped; "
-                           f"raise BENCH_BUDGET_FACTOR")
+        raise RuntimeError(f"bench budget too small: {dropped} instances dropped "
+                           f"at budget {budget}; set BENCH_BUDGET")
 
     def run_chain(k):
         cur = args

@@ -41,7 +41,9 @@ class PipelineConfig:
     debug: bool = False
     tile_size: int = 16
     chunk: int = 128
-    budget_factor: int = 6             # instance budget = factor * capacity
+    budget_factor: int = 6             # instance budget CAP = factor * capacity
+    adaptive_budget: bool = True       # size the budget from measured instance counts
+    budget_headroom: float = 1.3       # measured count -> budget multiplier
     max_tiles_per_gaussian: int = 32
     interpret: bool = False            # Pallas interpret mode (CPU testing)
 

@@ -11,6 +11,7 @@ of the loss w.r.t. it to drive densification statistics.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any
 
@@ -124,3 +125,30 @@ def render(
         out["language_feature_image"] = jnp.zeros(
             (1,) + out["render"].shape[1:], out["render"].dtype)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def count_instances(field, settings: RenderSettings, viewmatrix, projmatrix,
+                    campos) -> jnp.ndarray:
+    """Instance count (post max_tiles cap) a render of this view would bin.
+
+    Preprocess-only probe — no budget-sized arrays, no sort — used to SIZE the
+    instance budget: the reference's CUDA rasterizer allocates its key buffer
+    per frame from the measured count [inferred, N3 in SURVEY §2.1]; static XLA
+    shapes can't, so the trainer probes + keeps headroom and regrows on overflow.
+    """
+    cap = field.xyz.shape[0]
+    prep = projection.preprocess(
+        field.xyz, field.get_scaling, field.rotation, None,
+        viewmatrix, projmatrix, campos,
+        image_height=settings.image_height, image_width=settings.image_width,
+        tanfovx=settings.tanfovx, tanfovy=settings.tanfovy,
+        sh_degree=0, tile_size=settings.tile_size,
+        scale_modifier=settings.scale_modifier,
+        colors_precomp=jnp.zeros((cap, 3), jnp.float32),
+        alive=field.alive)
+    w = prep.tiles_max[:, 0] - prep.tiles_min[:, 0]
+    h = prep.tiles_max[:, 1] - prep.tiles_min[:, 1]
+    count = jnp.where(prep.visible,
+                      jnp.minimum(w * h, settings.max_tiles_per_gaussian), 0)
+    return jnp.sum(count).astype(jnp.int32)

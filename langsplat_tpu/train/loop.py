@@ -42,16 +42,66 @@ def pad_opt_state(opt_state, old_cap: int, new_cap: int):
 
 
 def make_settings(cam, pipe, active_sh_degree: int, include_feature: bool,
-                  capacity: int) -> RenderSettings:
+                  capacity: int, budget: int = 0) -> RenderSettings:
     return RenderSettings(
         image_height=cam.height, image_width=cam.width,
         tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
         sh_degree=active_sh_degree, include_feature=include_feature,
         tile_size=pipe.tile_size, chunk=pipe.chunk,
-        budget=pipe.budget_factor * capacity,
+        budget=budget or pipe.budget_factor * capacity,
         max_tiles_per_gaussian=pipe.max_tiles_per_gaussian,
         backend="tiled" if pipe.interpret else "pallas",
         interpret=pipe.interpret)
+
+
+class BudgetPolicy:
+    """Adaptive instance-budget sizing for the static-shape rasterizer.
+
+    Budget-sized host ops (binning sort, packing gather and its backward) scale
+    with the STATIC budget, not the live instance count, so a loose bound taxes
+    every iteration (~40% of step time at budget_factor=6 on v5e). Policy:
+    start from a probed per-view count x headroom, grow geometrically (one
+    recompile) whenever a step reports dropped instances, and cap at
+    budget_factor * capacity. Steps that dropped are re-run — the reference
+    CUDA rasterizer reallocates and never truncates, so neither do we.
+    """
+
+    GRANULE = 4096
+
+    def __init__(self, pipe, capacity: int):
+        self.pipe = pipe
+        self._budget = 0
+        self.resize(capacity)
+
+    def _round(self, x: float) -> int:
+        return max(int(-(-x // self.GRANULE)) * self.GRANULE, self.GRANULE)
+
+    @property
+    def budget(self) -> int:
+        return self._budget
+
+    def cap(self, capacity: int) -> int:
+        return self._round(self.pipe.budget_factor * capacity)
+
+    def resize(self, capacity: int, probe_count: int | None = None) -> None:
+        if not self.pipe.adaptive_budget:
+            self._budget = self.cap(capacity)
+            return
+        if probe_count is not None:
+            want = self._round(probe_count * self.pipe.budget_headroom)
+            self._budget = min(max(self._budget, want), self.cap(capacity))
+        elif self._budget == 0:
+            self._budget = min(self._round(capacity), self.cap(capacity))
+
+    def grow(self, capacity: int) -> bool:
+        """Geometric growth after an overflow; False if already at the cap."""
+        if not self.pipe.adaptive_budget:
+            return False
+        new = min(self._round(self._budget * 1.5), self.cap(capacity))
+        if new == self._budget:
+            return False
+        self._budget = new
+        return True
 
 
 def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
@@ -102,6 +152,19 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         save_config(cfg, os.path.join(mcfg.model_path, "cfg_args.json"))
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if mcfg.white_background else [0.0, 0.0, 0.0])
+    budget_policy = BudgetPolicy(pipe, field.capacity)
+    if pipe.adaptive_budget:
+        from langsplat_tpu.ops.render import count_instances
+        probe_cam = scene.get_train_cameras()[0]
+        probe_settings = make_settings(probe_cam, pipe, 0, include_feature,
+                                       field.capacity, budget=BudgetPolicy.GRANULE)
+        cnt = int(count_instances(
+            field, probe_settings, jnp.asarray(probe_cam.world_view_transform),
+            jnp.asarray(probe_cam.full_proj_transform),
+            jnp.asarray(probe_cam.camera_center)))
+        budget_policy.resize(field.capacity, cnt)
+        logger.log(f"instance budget {budget_policy.budget} "
+                   f"(probed {cnt}, cap {budget_policy.cap(field.capacity)})")
     viewpoint_stack: list = []
     timer = Timer()
     history: list[float] = []
@@ -138,25 +201,39 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         if prefetcher is not None and viewpoint_stack:
             prefetcher.schedule(viewpoint_stack[-1])
 
-        settings = make_settings(cam, pipe, active_sh_degree, include_feature,
-                                 field.capacity)
         view = jnp.asarray(cam.world_view_transform)
         proj = jnp.asarray(cam.full_proj_transform)
         campos = jnp.asarray(cam.camera_center)
 
         timer.start()
-        if include_feature:
-            gt_feat, gt_mask = prefetcher.get(cam)
-            out = tr.train_step_feature(
-                field, opt_state, stats, view, proj, campos,
-                gt_feat, gt_mask, bg,
-                settings=settings, optimizer=optimizer)
-        else:
-            out = tr.train_step_rgb(
-                field, opt_state, stats, view, proj, campos,
-                jnp.asarray(cam.image), bg,
-                settings=settings, optimizer=optimizer,
-                lambda_dssim=ocfg.lambda_dssim)
+        while True:
+            settings = make_settings(cam, pipe, active_sh_degree, include_feature,
+                                     field.capacity, budget=budget_policy.budget)
+            if include_feature:
+                gt_feat, gt_mask = prefetcher.get(cam)
+                out = tr.train_step_feature(
+                    field, opt_state, stats, view, proj, campos,
+                    gt_feat, gt_mask, bg,
+                    settings=settings, optimizer=optimizer)
+            else:
+                out = tr.train_step_rgb(
+                    field, opt_state, stats, view, proj, campos,
+                    jnp.asarray(cam.image), bg,
+                    settings=settings, optimizer=optimizer,
+                    lambda_dssim=ocfg.lambda_dssim)
+            dropped = int(out.dropped)
+            if dropped == 0:
+                break
+            # discard the truncated step's updates and re-run at a larger budget
+            # (the reference's CUDA buffers reallocate instead, resizeFunctional
+            # semantics); field/opt_state/stats are still the pre-step values
+            if not budget_policy.grow(field.capacity):
+                logger.log(f"[iter {iteration}] WARNING: {dropped} instances "
+                           f"dropped at the budget cap "
+                           f"{budget_policy.cap(field.capacity)}")
+                break
+            logger.log(f"[iter {iteration}] instance budget -> "
+                       f"{budget_policy.budget} ({dropped} dropped)")
         field, opt_state, stats = out.field, out.opt_state, out.stats
         elapsed = timer.stop(out.loss)
 
@@ -201,7 +278,8 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
 
         if iteration in cfg.test_iterations:
             report = evaluate_psnr(field, scene, pipe, active_sh_degree,
-                                   include_feature, bg)
+                                   include_feature, bg,
+                                   budget=budget_policy.budget)
             for name, (l1v, psnrv) in report.items():
                 logger.log(f"[ITER {iteration}] Evaluating {name}: "
                            f"L1 {l1v:.5f} PSNR {psnrv:.3f}")
@@ -257,7 +335,7 @@ def _restore_field_only(path, template):
 
 
 def evaluate_psnr(field, scene: Scene, pipe, active_sh_degree, include_feature, bg,
-                  max_train_views: int = 5) -> dict:
+                  max_train_views: int = 5, budget: int = 0) -> dict:
     """Test-time PSNR/L1 report (reference training_report, train.py:166-202)."""
     out = {}
     configs = [("test", scene.get_test_cameras()),
@@ -268,7 +346,7 @@ def evaluate_psnr(field, scene: Scene, pipe, active_sh_degree, include_feature, 
         l1s, psnrs = [], []
         for cam in cams:
             settings = make_settings(cam, pipe, active_sh_degree, include_feature,
-                                     field.capacity)
+                                     field.capacity, budget=budget)
             r = render(field, settings, jnp.asarray(cam.world_view_transform),
                        jnp.asarray(cam.full_proj_transform),
                        jnp.asarray(cam.camera_center), bg)
