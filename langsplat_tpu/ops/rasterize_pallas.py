@@ -56,9 +56,15 @@ class BlendSpec(NamedTuple):
     grid_x: int
     grid_y: int
     tile_size: int
-    chunk: int
+    chunk: int             # bwd DMA/compute granularity (layout divides into these)
     num_feat: int          # F language channels (0 => RGB only)
-    aligned_budget: int    # padded instance capacity (multiple of chunk)
+    aligned_budget: int    # padded instance capacity (multiple of align_chunk)
+    fwd_mult: int = 1      # fwd chunk = fwd_mult * chunk (fwd is overhead-bound, the
+                           # heavier bwd compute prefers finer early-exit granularity)
+
+    @property
+    def align_chunk(self) -> int:  # per-tile ranges are padded to multiples of this
+        return self.chunk * self.fwd_mult
 
     @property
     def num_tiles(self) -> int:
@@ -82,7 +88,8 @@ class BlendSpec(NamedTuple):
 
 
 def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chunk: int,
-                    num_feat: int, budget: int, interpret: bool = False) -> BlendSpec:
+                    num_feat: int, budget: int, interpret: bool = False,
+                    fwd_mult: int = 2) -> BlendSpec:
     if chunk <= 0:
         raise ValueError(f"chunk must be positive, got {chunk}")
     if chunk % 128 != 0 and not interpret:
@@ -91,12 +98,15 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
         # Interpret mode (CPU tests) has no lane tiling and may use small chunks.
         raise ValueError(f"chunk must be a multiple of 128 (lane tiling of the aligned "
                          f"instance DMA), got {chunk}")
+    if fwd_mult < 1:
+        raise ValueError(f"fwd_mult must be >= 1, got {fwd_mult}")
     gx = -(-image_width // tile_size)
     gy = -(-image_height // tile_size)
+    align = chunk * fwd_mult
     # worst case every tile has a partial chunk of padding
-    aligned = _round_up(budget + gx * gy * (chunk - 1), chunk)
+    aligned = _round_up(budget + gx * gy * (align - 1), align)
     return BlendSpec(grid_x=gx, grid_y=gy, tile_size=tile_size, chunk=chunk,
-                     num_feat=num_feat, aligned_budget=aligned)
+                     num_feat=num_feat, aligned_budget=aligned, fwd_mult=fwd_mult)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -161,7 +171,7 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
     from langsplat_tpu.ops.tiles import propagate_to_segments
 
     n = prep.means2d.shape[0]
-    chunk = spec.chunk
+    chunk = spec.align_chunk
     budget = inst.gauss_id.shape[0]
     aligned = spec.aligned_budget
     counts = inst.tile_start[1:] - inst.tile_start[:-1]
@@ -217,22 +227,36 @@ def _shifted(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
     return jnp.where(lane >= s, rolled, fill)
 
 
-def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumulative product along the lane axis (log-shift)."""
-    s = 1
-    while s < x.shape[1]:
-        x = x * _shifted(x, s, 1.0)
-        s *= 2
-    return x
+def _triu_ones(c: int) -> jnp.ndarray:
+    """[c, c] f32 upper-triangular ones (incl. diagonal): x @ _triu_ones = cumsum."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return jnp.where(row <= col, 1.0, 0.0).astype(jnp.float32)
 
 
 def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumulative sum along the lane axis."""
-    s = 1
-    while s < x.shape[1]:
-        x = x + _shifted(x, s, 0.0)
-        s *= 2
-    return x
+    """Inclusive cumulative sum along the lane axis, as one MXU triangular matmul.
+
+    A [P, C] x [C, C] contraction costs a few microseconds on the MXU while the
+    log-shift formulation is ~21 VPU passes over [P, C] (7 steps x roll+mask+add).
+    HIGHEST precision keeps the f32 accuracy the suffix-sum gradient math needs.
+    """
+    return jax.lax.dot_general(
+        x, _triu_ones(x.shape[1]),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative product along the lane axis via exp(cumsum(log)).
+
+    x here is 1-alpha in [1 - ALPHA_MAX, 1], so log is well-conditioned; masked
+    lanes carry exactly 1.0 -> log 0 (neutral). Deep tails underflow exp to 0,
+    which the TERM_EPS termination masks anyway. Two transcendental passes + one
+    MXU matmul instead of ~28 VPU passes (7 steps x roll+iota+select+multiply).
+    """
+    return jnp.exp(_cumsum_lanes(jnp.log(x)))
 
 
 def _chunk_alpha(data: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
@@ -263,19 +287,30 @@ def _blend_state(alpha, t_carry, done):
     Returns (eff, w, t_excl, t_new, done_new): effective alphas after the CUDA
     termination rule, blend weights, per-instance exclusive transmittance, and the
     carried transmittance / done latch for the next chunk.
+
+    Inclusion is a PREFIX property along lanes (t_incl is non-increasing, so once it
+    crosses TERM_EPS it never recovers), which collapses the second cumulative product
+    over effective alphas: t_carry * cumprod(1 - eff)[i] == max(t_incl[i], floor)
+    where floor is t_incl at the last included lane (t_carry when none is included —
+    t_incl <= t_carry always, so filling the min with t_carry handles that case).
+    One cumprod + a min-reduce + a shift instead of two cumprods (saves ~7
+    roll-multiply [pixels, chunk] passes per chunk in both fwd and bwd kernels).
     """
     t_incl = t_carry * _cumprod_lanes(1.0 - alpha)
     included = (t_incl >= TERM_EPS) & jnp.logical_not(done)
     eff = jnp.where(included, alpha, 0.0)
-    cum_eff = _cumprod_lanes(1.0 - eff)
-    t_excl = t_carry * _shifted(cum_eff, 1, 1.0)
+    floor = jnp.min(jnp.where(included, t_incl, t_carry), axis=1, keepdims=True)
+    cum_incl = jnp.maximum(t_incl, floor)     # == t_carry * cumprod(1 - eff)
+    rolled = pltpu.roll(cum_incl, shift=1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, cum_incl.shape, 1)
+    t_excl = jnp.where(lane >= 1, rolled, t_carry)
     w = eff * t_excl
-    # Last-lane values via full-lane reductions (both cumulatives are monotone along
-    # lanes): lane-slice extracts ([:, -1:]) would give the while-loop carries a
-    # lane-offset layout Mosaic can't reconcile with the offset-0 initial values.
+    # Carries via full-lane reductions: lane-slice extracts ([:, -1:]) would give the
+    # while-loop carries a lane-offset layout Mosaic can't reconcile with the offset-0
+    # initial values. min(t_incl) is the last lane (monotone); t_new == floor exactly
+    # (min over lanes of max(t_incl, floor), and floor >= t_incl[last]).
     done_new = done | (jnp.min(t_incl, axis=1, keepdims=True) < TERM_EPS)
-    t_new = t_carry * jnp.min(cum_eff, axis=1, keepdims=True)
-    return eff, w, t_excl, t_new, done_new
+    return eff, w, t_excl, floor, done_new
 
 
 # ---------------------------------------------------------------------------
@@ -286,14 +321,24 @@ def _fwd_kernel(spec: BlendSpec,
                 start_ref,            # scalar prefetch: [num_tiles+1] aligned starts
                 inst_ref,             # HBM [rows, aligned_budget]
                 out_ref,              # VMEM block [1, pixels, out_channels]
-                chunk_buf, t_ref, done_ref, dma_sem):
+                chunk_buf, t_ref, done_ref, flag_ref, dma_sems):
     # Loop state lives in VMEM scratch refs (t_ref/done_ref [pixels,1], the accumulator
     # directly in out_ref): fori_loop with predicated bodies — value carries would force
     # Mosaic to unify vector layouts across iterations (lane-slices/reductions yield
     # offset/replicated layouts that clash with the offset-0 initials).
+    #
+    # The instance stream is double-buffered: chunk k+1's DMA is issued before chunk k's
+    # compute, so HBM reads overlap VPU/MXU work. flag_ref (SMEM) tracks whether a copy
+    # is in flight — needed because the early-exit prefix leaves exactly one issued-but-
+    # unconsumed DMA that must be drained (an un-waited DMA leaves its semaphore
+    # signaled for the next grid step, which reuses the scratch).
     t = pl.program_id(0)
     start = start_ref[t]
-    nchunks = (start_ref[t + 1] - start) // spec.chunk
+    fchunk = spec.align_chunk
+    # start_ref holds [aligned starts (num_tiles+1) | true counts (num_tiles)]:
+    # iterating ceil(count/chunk) instead of padded_range/chunk skips the all-padding
+    # alignment chunks entirely (the last partial chunk is zero-opacity masked).
+    nchunks = (start_ref[spec.num_tiles + 1 + t] + fchunk - 1) // fchunk
     f32 = jnp.float32
     px, py = _pixel_coords(t, spec, f32)
     ncol = spec.blend_channels
@@ -302,29 +347,47 @@ def _fwd_kernel(spec: BlendSpec,
     t_ref[:, :] = jnp.ones((spec.pixels, 1), f32)
     done_ref[:, :] = jnp.zeros((spec.pixels, 1), f32)
 
-    def body(k, _):
-        alive = jnp.max(1.0 - done_ref[:, :]) > 0.0
+    def copy_for(k, slot):
+        offset = pl.multiple_of(start + k * fchunk, fchunk)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(offset, fchunk)],
+            chunk_buf.at[slot], dma_sems.at[slot])
 
-        @pl.when(alive)
+    @pl.when(nchunks > 0)
+    def _():
+        copy_for(0, 0).start()
+    flag_ref[0] = jnp.where(nchunks > 0, 1, 0)
+
+    def body(k, _):
+        inflight = flag_ref[0] == 1
+
+        @pl.when(inflight)
         def _():
-            offset = pl.multiple_of(start + k * spec.chunk, spec.chunk)
-            copy = pltpu.make_async_copy(
-                inst_ref.at[:, pl.ds(offset, spec.chunk)],
-                chunk_buf, dma_sem)
-            copy.start()
-            copy.wait()
-            data = chunk_buf[:, :]
-            alpha, _, _, _, _ = _chunk_alpha(data, px, py)
-            t_carry = t_ref[:, :]
-            done = done_ref[:, :] > 0.0
-            _, w, _, t_new, done_new = _blend_state(alpha, t_carry, done)
-            # acc[p, ch] += sum_i w[p, i] * attrs[ch, i] (MXU contraction over the chunk)
-            out_ref[0, :, 0:ncol] += jax.lax.dot_general(
-                w, data[ROW_R:ROW_R + ncol, :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            t_ref[:, :] = t_new
-            done_ref[:, :] = jnp.where(done_new, 1.0, 0.0)
+            alive = jnp.max(1.0 - done_ref[:, :]) > 0.0
+            slot = jax.lax.rem(k, 2)
+            copy_for(k, slot).wait()
+            do_issue = alive & (k + 1 < nchunks)
+
+            @pl.when(do_issue)
+            def _():
+                copy_for(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+            flag_ref[0] = jnp.where(do_issue, 1, 0)
+
+            @pl.when(alive)
+            def _():
+                data = chunk_buf[slot]
+                alpha, _, _, _, _ = _chunk_alpha(data, px, py)
+                t_carry = t_ref[:, :]
+                done = done_ref[:, :] > 0.0
+                _, w, _, t_new, done_new = _blend_state(alpha, t_carry, done)
+                # acc[p, ch] += sum_i w[p, i] * attrs[ch, i] (MXU over the chunk)
+                out_ref[0, :, 0:ncol] += jax.lax.dot_general(
+                    w, data[ROW_R:ROW_R + ncol, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                t_ref[:, :] = t_new
+                done_ref[:, :] = jnp.where(done_new, 1.0, 0.0)
 
         return ()
 
@@ -353,11 +416,17 @@ def _bwd_kernel(spec: BlendSpec,
                 res_ref,              # VMEM block [1, pixels, 2]: (Total, T_final)
                 zeros_ref,            # HBM [rows, aligned_budget] (aliased -> grad out)
                 dinst_ref,            # HBM output [rows, aligned_budget]
-                chunk_buf, dchunk_buf, prefix_ref, t_ref, done_ref, in_sem, out_sem):
+                chunk_buf, dchunk_buf, prefix_ref, t_ref, done_ref,
+                flag_ref, wcount_ref, in_sems, out_sems):
+    # Same double-buffered stream as the forward kernel, plus double-buffered gradient
+    # WRITES: chunk k's dchunk DMA-out is issued without waiting; its buffer slot is
+    # only reclaimed when chunk k+2 computes (writes are issued on the alive prefix of
+    # chunks, so the write for k-2 is always in flight when compute k runs). wcount_ref
+    # records issued writes so the epilogue can drain the last <=2.
     del zeros_ref
     t = pl.program_id(0)
     start = start_ref[t]
-    nchunks = (start_ref[t + 1] - start) // spec.chunk
+    nchunks = (start_ref[spec.num_tiles + 1 + t] + spec.chunk - 1) // spec.chunk
     f32 = jnp.float32
     px, py = _pixel_coords(t, spec, f32)
     ncol = spec.blend_channels
@@ -372,23 +441,62 @@ def _bwd_kernel(spec: BlendSpec,
     t_ref[:, :] = jnp.ones((spec.pixels, 1), f32)
     done_ref[:, :] = jnp.zeros((spec.pixels, 1), f32)
 
-    def body(k, _):
-        alive = jnp.max(1.0 - done_ref[:, :]) > 0.0
+    # Loop-invariant pixel polynomial basis for the moment contraction (see _bwd_chunk):
+    # tile-centered coordinates keep the quadratic columns well-conditioned in f32.
+    ts = spec.tile_size
+    cx = (pl.program_id(0) % spec.grid_x) * ts + ts * 0.5
+    cy = (pl.program_id(0) // spec.grid_x) * ts + ts * 0.5
+    pxc = px - cx
+    pyc = py - cy
+    ones_col = jnp.ones((spec.pixels, 1), f32)
+    zeros_col = jnp.zeros((spec.pixels, 1), f32)
+    pbasis = jnp.concatenate(
+        [ones_col, pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc, zeros_col, zeros_col],
+        axis=1)                                                # [P, 8]
 
-        @pl.when(alive)
+    def in_copy(k, slot):
+        offset = pl.multiple_of(start + k * spec.chunk, spec.chunk)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(offset, spec.chunk)],
+            chunk_buf.at[slot], in_sems.at[slot])
+
+    def out_copy(k, slot):
+        offset = pl.multiple_of(start + k * spec.chunk, spec.chunk)
+        return pltpu.make_async_copy(
+            dchunk_buf.at[slot],
+            dinst_ref.at[:, pl.ds(offset, spec.chunk)],
+            out_sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        in_copy(0, 0).start()
+    flag_ref[0] = jnp.where(nchunks > 0, 1, 0)
+    wcount_ref[0] = 0
+
+    def body(k, _):
+        inflight = flag_ref[0] == 1
+
+        @pl.when(inflight)
         def _():
-            _bwd_chunk(k)
+            alive = jnp.max(1.0 - done_ref[:, :]) > 0.0
+            slot = jax.lax.rem(k, 2)
+            in_copy(k, slot).wait()
+            do_issue = alive & (k + 1 < nchunks)
+
+            @pl.when(do_issue)
+            def _():
+                in_copy(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+            flag_ref[0] = jnp.where(do_issue, 1, 0)
+
+            @pl.when(alive)
+            def _():
+                _bwd_chunk(k, slot)
 
         return ()
 
-    def _bwd_chunk(k):
-        offset = pl.multiple_of(start + k * spec.chunk, spec.chunk)
-        copy = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(offset, spec.chunk)],
-            chunk_buf, in_sem)
-        copy.start()
-        copy.wait()
-        data = chunk_buf[:, :]
+    def _bwd_chunk(k, slot):
+        data = chunk_buf[slot]
         alpha, gexp, dx, dy, keep = _chunk_alpha(data, px, py)
         prefix = prefix_ref[:, :]
         t_carry = t_ref[:, :]
@@ -412,45 +520,75 @@ def _bwd_kernel(spec: BlendSpec,
         # chain: alpha = min(0.99, opa * gexp); clamped -> zero grad (jnp semantics)
         opa = data[ROW_OPA:ROW_OPA + 1, :]
         dag = jnp.where((opa * gexp) < ALPHA_MAX, dalpha, 0.0)
-        d_opa = jnp.sum(dag * gexp, axis=0, keepdims=True)     # [1, C]
         dpower = dag * alpha
+        # All six per-instance reductions are sums over pixels of dpower times a
+        # polynomial of degree <=2 in (dx, dy) = ((px'-mx'), (py'-my')), so they factor
+        # through the moments of dpower against the loop-invariant pixel basis — ONE
+        # MXU contraction instead of ~25 VPU passes + 6 sublane reductions. d_opa uses
+        # dag*gexp == dpower/opa (exact where unclamped; both sides 0 elsewhere).
+        mom = jax.lax.dot_general(
+            pbasis, dpower,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)                # [8, C]
+        m0 = mom[0:1, :]
+        m_x = mom[1:2, :]
+        m_y = mom[2:3, :]
+        m_xx = mom[3:4, :]
+        m_xy = mom[4:5, :]
+        m_yy = mom[5:6, :]
         ca = data[ROW_CA:ROW_CA + 1, :]
         cb = data[ROW_CB:ROW_CB + 1, :]
         cc = data[ROW_CC:ROW_CC + 1, :]
-        d_ca = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cb = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
-        d_cc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
-        ddx = dpower * (-(ca * dx + cb * dy))
-        ddy = dpower * (-(cc * dy + cb * dx))
-        d_mx = jnp.sum(-ddx, axis=0, keepdims=True)
-        d_my = jnp.sum(-ddy, axis=0, keepdims=True)
+        mxq = data[ROW_MX:ROW_MX + 1, :] - cx                  # [1, C] tile-centered
+        myq = data[ROW_MY:ROW_MY + 1, :] - cy
+        sdx = m_x - mxq * m0                                   # sum dpower*dx
+        sdy = m_y - myq * m0
+        d_opa = jnp.where(opa > 0.0, m0 / jnp.where(opa > 0.0, opa, 1.0), 0.0)
+        d_ca = -0.5 * (m_xx - 2.0 * mxq * m_x + mxq * mxq * m0)
+        d_cb = -(m_xy - mxq * m_y - myq * m_x + mxq * myq * m0)
+        d_cc = -0.5 * (m_yy - 2.0 * myq * m_y + myq * myq * m0)
+        d_mx = ca * sdx + cb * sdy
+        d_my = cc * sdy + cb * sdx
         # d attrs[ch, i] = sum_p g_blend[p, ch] * w[p, i]
         d_attr = jax.lax.dot_general(
             g_blend, w,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # [ncol, C]
 
-        dchunk_buf[ROW_MX:ROW_MX + 1, :] = d_mx
-        dchunk_buf[ROW_MY:ROW_MY + 1, :] = d_my
-        dchunk_buf[ROW_CA:ROW_CA + 1, :] = d_ca
-        dchunk_buf[ROW_CB:ROW_CB + 1, :] = d_cb
-        dchunk_buf[ROW_CC:ROW_CC + 1, :] = d_cc
-        dchunk_buf[ROW_OPA:ROW_OPA + 1, :] = d_opa
-        dchunk_buf[ROW_R:ROW_R + ncol, :] = d_attr
+        # reclaim dchunk_buf[slot]: the write issued for chunk k-2 used this slot
+        @pl.when(k >= 2)
+        def _():
+            out_copy(k - 2, slot).wait()
+
+        dchunk_buf[slot, ROW_MX:ROW_MX + 1, :] = d_mx
+        dchunk_buf[slot, ROW_MY:ROW_MY + 1, :] = d_my
+        dchunk_buf[slot, ROW_CA:ROW_CA + 1, :] = d_ca
+        dchunk_buf[slot, ROW_CB:ROW_CB + 1, :] = d_cb
+        dchunk_buf[slot, ROW_CC:ROW_CC + 1, :] = d_cc
+        dchunk_buf[slot, ROW_OPA:ROW_OPA + 1, :] = d_opa
+        dchunk_buf[slot, ROW_R:ROW_R + ncol, :] = d_attr
         if spec.rows > D_BASE + spec.num_feat:
-            dchunk_buf[D_BASE + spec.num_feat:, :] = jnp.zeros(
+            dchunk_buf[slot, D_BASE + spec.num_feat:, :] = jnp.zeros(
                 (spec.rows - D_BASE - spec.num_feat, spec.chunk), f32)
-        wcopy = pltpu.make_async_copy(
-            dchunk_buf,
-            dinst_ref.at[:, pl.ds(offset, spec.chunk)],
-            out_sem)
-        wcopy.start()
-        wcopy.wait()
+        out_copy(k, slot).start()
+        wcount_ref[0] = k + 1
         prefix_ref[:, :] = prefix + jnp.sum(contrib, axis=1, keepdims=True)
         t_ref[:, :] = t_new
         done_ref[:, :] = jnp.where(done_new, 1.0, 0.0)
 
     jax.lax.fori_loop(0, nchunks, body, ())
+
+    # drain the last <=2 outstanding gradient writes
+    wn = wcount_ref[0]
+
+    @pl.when(wn >= 1)
+    def _():
+        out_copy(wn - 1, jax.lax.rem(wn - 1, 2)).wait()
+
+    @pl.when(wn >= 2)
+    def _():
+        out_copy(wn - 2, jax.lax.rem(wn - 2, 2)).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -465,10 +603,11 @@ def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
         out_specs=pl.BlockSpec((1, spec.pixels, spec.out_channels),
                                lambda t, s: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((spec.rows, spec.chunk), jnp.float32),
+            pltpu.VMEM((2, spec.rows, spec.align_chunk), jnp.float32),  # double buffer
             pltpu.VMEM((spec.pixels, 1), jnp.float32),   # t_carry
             pltpu.VMEM((spec.pixels, 1), jnp.float32),   # done latch
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((1,), jnp.int32),                 # copy-in-flight flag
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -494,13 +633,15 @@ def _bwd_call(packed, aligned_start, g_out, residuals, spec: BlendSpec, interpre
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((spec.rows, spec.chunk), jnp.float32),
-            pltpu.VMEM((spec.rows, spec.chunk), jnp.float32),
+            pltpu.VMEM((2, spec.rows, spec.chunk), jnp.float32),  # in double buffer
+            pltpu.VMEM((2, spec.rows, spec.chunk), jnp.float32),  # out double buffer
             pltpu.VMEM((spec.pixels, 1), jnp.float32),   # prefix carry
             pltpu.VMEM((spec.pixels, 1), jnp.float32),   # t_carry
             pltpu.VMEM((spec.pixels, 1), jnp.float32),   # done latch
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((1,), jnp.int32),                 # copy-in-flight flag
+            pltpu.SMEM((1,), jnp.int32),                 # issued-write count
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     zeros = jnp.zeros_like(packed)
@@ -518,6 +659,8 @@ def blend_tiles(packed: jnp.ndarray, aligned_start: jnp.ndarray,
                 spec: BlendSpec, interpret: bool = False) -> jnp.ndarray:
     """Blend packed instances into per-tile images [num_tiles, pixels, out_channels].
 
+    `aligned_start` is the kernel schedule: [aligned range starts (num_tiles+1) |
+    true unpadded per-tile counts (num_tiles)] concatenated (see rasterize_pallas).
     Channels 0..2+F hold blended RGB+feature values; channel 3+F is final transmittance.
     """
     return _fwd_call(packed, aligned_start, spec, interpret)
@@ -572,7 +715,9 @@ def rasterize_pallas(
                            budget=inst.gauss_id.shape[0], interpret=interpret)
     packed, p_off = pack_instances(prep, opacities, features, inst, spec,
                                    means2d_override=means2d_override)
-    tiles = blend_tiles(packed, jax.lax.stop_gradient(p_off), spec, interpret)
+    counts = inst.tile_start[1:] - inst.tile_start[:-1]
+    sched = jnp.concatenate([p_off, counts])
+    tiles = blend_tiles(packed, jax.lax.stop_gradient(sched), spec, interpret)
     ncol = 3 + num_feat
     img = tiles_to_image(tiles[:, :, :ncol + 1], spec, image_height, image_width)
     t_final = img[ncol]

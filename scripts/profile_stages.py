@@ -71,7 +71,8 @@ def main():
     steps = int(os.environ.get("PROF_STEPS", 5))
     ts = int(os.environ.get("PROF_TS", 16))
     chunk = int(os.environ.get("PROF_CHUNK", 128))
-    budget = int(float(os.environ.get("PROF_BUDGET_FACTOR", 6)) * n)
+    budget_factor = os.environ.get("PROF_BUDGET_FACTOR")  # None => adaptive like bench
+    budget = int(float(budget_factor) * n) if budget_factor else None
     fov = 0.9
 
     rng = np.random.default_rng(0)
@@ -88,11 +89,26 @@ def main():
     campos = jnp.zeros(3)
     tanf = float(np.tan(fov / 2))
     gx, gy = -(-w // ts), -(-h // ts)
-    spec = make_blend_spec(image_height=h, image_width=w, tile_size=ts, chunk=chunk,
-                           num_feat=3, budget=budget)
 
     kw = dict(image_height=h, image_width=w, tanfovx=tanf, tanfovy=tanf,
               sh_degree=0, tile_size=ts)
+
+    if budget is None:
+        # adaptive budget exactly like bench.py: 1.1x the measured instance count,
+        # rounded up to a 4096 multiple
+        @jax.jit
+        def probe_count(m, s, q, c):
+            prep = projection.preprocess(m, s, q, None, view, proj, campos,
+                                         colors_precomp=c, **kw)
+            tw = prep.tiles_max[:, 0] - prep.tiles_min[:, 0]
+            th = prep.tiles_max[:, 1] - prep.tiles_min[:, 1]
+            return jnp.sum(jnp.where(prep.visible, jnp.minimum(tw * th, 32), 0))
+
+        measured = int(probe_count(*map(jnp.asarray, (means, scales, quats, colors))))
+        budget = -(-int(measured * 1.1) // 4096) * 4096
+
+    spec = make_blend_spec(image_height=h, image_width=w, tile_size=ts, chunk=chunk,
+                           num_feat=3, budget=budget)
 
     @jax.jit
     def stage_prep(m, s, q, c):
@@ -121,7 +137,8 @@ def main():
         inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
                              max_tiles_per_gaussian=32)
         packed, p_off = pack_instances(prep, o, f, inst, spec)
-        return blend_tiles(packed, p_off, spec, False)
+        sched = jnp.concatenate([p_off, inst.tile_start[1:] - inst.tile_start[:-1]])
+        return blend_tiles(packed, sched, spec, False)
 
     @jax.jit
     def stage_fwdbwd(m, s, q, c, o, f):
@@ -131,26 +148,41 @@ def main():
             inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
                                  max_tiles_per_gaussian=32)
             packed, p_off = pack_instances(prep, o, f, inst, spec)
-            tiles = blend_tiles(packed, jax.lax.stop_gradient(p_off), spec, False)
+            sched = jnp.concatenate([p_off,
+                                     inst.tile_start[1:] - inst.tile_start[:-1]])
+            tiles = blend_tiles(packed, jax.lax.stop_gradient(sched), spec, False)
             return jnp.mean(tiles[:, :, :7] ** 2)
         return jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5))(m, s, q, c, o, f)
+
+    @jax.jit
+    def stage_kernel_bwd(packed, sched):
+        def loss(p):
+            tiles = blend_tiles(p, sched, spec, False)
+            return jnp.mean(tiles[:, :, :7] ** 2)
+        return jax.value_and_grad(loss)(packed)
 
     args4 = tuple(map(jnp.asarray, (means, scales, quats, colors)))
     args6 = args4 + tuple(map(jnp.asarray, (opac, feats)))
 
     inst = jax.jit(stage_bin)(*args4)
-    print(f"n={n} image={w}x{h} instances={int(inst.num_instances)} "
-          f"dropped={int(inst.dropped)}")
+    print(f"n={n} image={w}x{h} budget={budget} "
+          f"instances={int(inst.num_instances)} dropped={int(inst.dropped)}")
+    packed_const, p_off_const = jax.jit(stage_pack)(*args6)
+    p_off_const = jnp.concatenate(
+        [p_off_const, inst.tile_start[1:] - inst.tile_start[:-1]])
     t_prep = timeit(stage_prep, *args4, steps=steps)
     t_bin = timeit(stage_bin, *args4, steps=steps)
     t_pack = timeit(stage_pack, *args6, steps=steps)
     t_fwd = timeit(stage_fwd, *args6, steps=steps)
+    t_kbwd = timeit(stage_kernel_bwd, packed_const, p_off_const, steps=steps)
     t_all = timeit(stage_fwdbwd, *args6, steps=steps)
     print(f"preprocess              {t_prep:8.2f} ms")
     print(f"+ binning (sort)        {t_bin:8.2f} ms  (delta {t_bin - t_prep:.2f})")
     print(f"+ packing (gather)      {t_pack:8.2f} ms  (delta {t_pack - t_bin:.2f})")
     print(f"+ pallas forward        {t_fwd:8.2f} ms  (delta {t_fwd - t_pack:.2f})")
-    print(f"full fwd+bwd            {t_all:8.2f} ms  (bwd delta {t_all - t_fwd:.2f})")
+    print(f"kernel fwd+bwd alone    {t_kbwd:8.2f} ms  (kernel bwd ~{t_kbwd - (t_fwd - t_pack):.2f})")
+    print(f"full fwd+bwd            {t_all:8.2f} ms  (bwd delta {t_all - t_fwd:.2f}, "
+          f"non-kernel bwd ~{t_all - t_fwd - t_kbwd:.2f})")
     print(f"pixels/s fwd+bwd: {w * h / (t_all / 1e3):.3e}")
 
 
