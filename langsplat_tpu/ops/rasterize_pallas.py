@@ -139,7 +139,11 @@ def _gather_attrs_bwd(budget, res, g):
     csum = jnp.concatenate([jnp.zeros((rows, 1), g.dtype),
                             jnp.cumsum(d_pre, axis=1)], axis=1)
     ends = jnp.clip(gauss_offsets, 0, budget)
-    seg = csum[:, ends[1:]] - csum[:, ends[:-1]]           # [rows, N]
+    # ONE boundary gather (N+1 indices), then adjacent-column diff: gathers cost
+    # ~20 ns per index on v5e regardless of layout, so gathering ends[1:] and
+    # ends[:-1] separately (2N indices) doubles the dominant cost for no reason
+    c_at = csum[:, ends]                                   # [rows, N + 1]
+    seg = c_at[:, 1:] - c_at[:, :-1]                       # [rows, N]
     d_attrs = jnp.concatenate([seg, jnp.zeros((rows, 1), g.dtype)], axis=1)
     f0 = jax.dtypes.float0
     zero_gid = _np.zeros((g.shape[1],), f0)
