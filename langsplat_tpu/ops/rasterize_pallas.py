@@ -110,32 +110,40 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_attrs(budget: int, attrs, gid, inv, gauss_offsets):
+def _gather_attrs(budget: int, attrs, gid, poa, gauss_offsets):
     """attrs [rows, N+1] -> packed [rows, aligned_budget] by column gather.
 
-    `inv` [budget] maps each pre-sort (gaussian-major) instance slot to its aligned
-    slot (value = aligned for "missing"), built by the caller as a side product of the
-    destination scatter. Custom VJP: XLA's default backward for this gather is a
-    scatter-ADD over every instance (~370ms at 3M instances; TPU scatters cost
-    ~6ns/element while permute gathers cost ~0.4 and cumsums ~0.1). Instead the
-    backward permutes the cotangent columns into pre-sort order where each Gaussian's
-    instances are contiguous, then reduces segments with one cumsum and a difference
-    at the per-Gaussian offsets — deterministic and ~5x cheaper.
+    `poa` [aligned] maps each aligned slot to its pre-sort (gaussian-major) slot
+    (budget for zero-opacity padding instances, aligned for alignment holes), built
+    by the caller with one cheap 1-D scatter. Custom VJP: XLA's default backward for
+    this gather is a scatter-ADD over every instance (~370 ms at 3M instances on
+    v5e). A permute GATHER into pre-sort order costs ~22 ns per index (~53 ms,
+    locality-independent — scripts/micro_gather_locality.py), while a single-key
+    u32 sort carrying all 12 gradient rows as payloads costs ~22 ms. So the
+    backward sorts the cotangent columns by `poa` into pre-sort order, where each
+    Gaussian's instances are contiguous, then reduces segments with one cumsum and
+    one boundary gather + adjacent diff — deterministic and ~4x cheaper than the
+    scatter formulation.
     """
-    del budget, inv, gauss_offsets
+    del budget, poa, gauss_offsets
     return attrs[:, gid]
 
 
-def _gather_attrs_fwd(budget, attrs, gid, inv, gauss_offsets):
-    return attrs[:, gid], (inv, gauss_offsets, attrs.shape)
+def _gather_attrs_fwd(budget, attrs, gid, poa, gauss_offsets):
+    return attrs[:, gid], (poa, gauss_offsets, attrs.shape)
 
 
 def _gather_attrs_bwd(budget, res, g):
     import numpy as _np
-    inv, gauss_offsets, attrs_shape = res
+    poa, gauss_offsets, attrs_shape = res
     rows, n1 = attrs_shape
-    gz = jnp.concatenate([g, jnp.zeros((rows, 1), g.dtype)], axis=1)
-    d_pre = gz[:, inv]                                     # [rows, budget] presort order
+    # permute-by-sort: real instances carry keys 0..total-1; zero-opacity padding
+    # instances carry key=budget and alignment holes key=aligned, so positions
+    # [total, budget) of the sorted result hold only all-zero gradient columns
+    # (padding gradients vanish identically in the blend backward)
+    sorted_out = jax.lax.sort(
+        (poa,) + tuple(g[i] for i in range(rows)), num_keys=1, is_stable=False)
+    d_pre = jnp.stack(sorted_out[1:], axis=0)[:, :budget]  # [rows, budget] presort
     csum = jnp.concatenate([jnp.zeros((rows, 1), g.dtype),
                             jnp.cumsum(d_pre, axis=1)], axis=1)
     ends = jnp.clip(gauss_offsets, 0, budget)
@@ -147,9 +155,9 @@ def _gather_attrs_bwd(budget, res, g):
     d_attrs = jnp.concatenate([seg, jnp.zeros((rows, 1), g.dtype)], axis=1)
     f0 = jax.dtypes.float0
     zero_gid = _np.zeros((g.shape[1],), f0)
-    zero_inv = _np.zeros((budget,), f0)
+    zero_poa = _np.zeros((g.shape[1],), f0)
     zero_off = _np.zeros((n1,), f0)
-    return d_attrs, zero_gid, zero_inv, zero_off
+    return d_attrs, zero_gid, zero_poa, zero_off
 
 
 _gather_attrs.defvjp(_gather_attrs_fwd, _gather_attrs_bwd)
@@ -168,7 +176,7 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
     Layout construction is scatter-based: each sorted instance's aligned destination
     is `slot + (p_off[T] - tile_start[T])` with the per-tile base broadcast over the
     budget axis by one scatter+cumsum (`propagate_to_segments`); the gaussian-id map
-    and the pre-sort inverse permutation are then each ONE budget-sized scatter —
+    and the aligned->presort key map are then each ONE budget-sized 1-D scatter —
     cheaper than the gather formulation (segment ids + 3 aligned-size random gathers)
     by ~2x on v5e honest chained timing.
     """
@@ -190,10 +198,12 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
                                  (p_off - inst.tile_start)[None, :], budget)[0]
     dst = slot + base
     gid = jnp.full((aligned,), n, jnp.int32).at[dst].set(inst.gauss_id, mode="drop")
-    # inverse permutation: pre-sort slot -> aligned slot (aligned = "missing");
-    # padding instances carry presort_slot == budget and are dropped
-    inv = jnp.full((budget,), aligned, jnp.int32).at[inst.presort_slot].set(
-        dst, mode="drop")
+    # aligned slot -> pre-sort slot (sort key for the gradient reduction in
+    # _gather_attrs_bwd): padding instances write their sentinel presort_slot ==
+    # budget, untouched alignment holes keep `aligned` — both sort past the live
+    # prefix and both carry identically-zero gradient columns
+    poa = jnp.full((aligned,), aligned, jnp.int32).at[dst].set(
+        inst.presort_slot, mode="drop")
 
     means2d = prep.means2d if means2d_override is None else means2d_override
     rows = [means2d[:, 0], means2d[:, 1],
@@ -207,7 +217,7 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
     attrs = jnp.concatenate([attrs, jnp.zeros((d, 1), attrs.dtype)], axis=1)
     packed = _gather_attrs(budget, attrs,
                            jax.lax.stop_gradient(gid),
-                           jax.lax.stop_gradient(inv),
+                           jax.lax.stop_gradient(poa),
                            jax.lax.stop_gradient(inst.gauss_offsets))
     if d < spec.rows:
         # sublane padding rows are constant zero: append AFTER the gather so the
