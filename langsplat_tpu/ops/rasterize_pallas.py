@@ -6,10 +6,12 @@ re-designed for the TPU memory/compute model rather than translated:
 
   - one grid program per image tile; the tile's (depth-sorted) instance list streams from
     HBM in fixed `chunk`-sized pieces over an async-DMA loop;
-  - instances are packed OUTSIDE the kernel into a chunk-aligned layout
-    (`pack_instances`): every tile range starts at a multiple of `chunk` and is padded
-    with zero-opacity slots to a full chunk, so each DMA is aligned and the inner loop
-    has no partial-chunk masking;
+  - instances are packed OUTSIDE the kernel into a lane-aligned layout
+    (`pack_instances`): every tile range starts at a multiple of the lane tiling
+    (`align`, 128) and pads to it with zero-opacity slots, so every DMA offset is
+    aligned; the fwd/bwd chunk sizes are larger multiples of 128 chosen for latency
+    amortization (each chunk body costs ~2us of serial scalar/MXU latency on v5e),
+    and the final partial chunk of a tile masks out-of-range lanes in-kernel;
   - per-chunk alpha evaluation is vectorized [pixels, chunk] VPU work; the front-to-back
     transmittance is a lane-wise log-shift cumulative product (7 roll-multiply steps for
     chunk=128), NOT a sequential per-Gaussian loop;
@@ -56,14 +58,20 @@ class BlendSpec(NamedTuple):
     grid_x: int
     grid_y: int
     tile_size: int
-    chunk: int             # bwd DMA/compute granularity (layout divides into these)
+    chunk: int             # bwd DMA/compute granularity
     num_feat: int          # F language channels (0 => RGB only)
-    aligned_budget: int    # padded instance capacity (multiple of align_chunk)
-    fwd_mult: int = 1      # fwd chunk = fwd_mult * chunk (fwd is overhead-bound, the
-                           # heavier bwd compute prefers finer early-exit granularity)
+    aligned_budget: int    # padded instance capacity (multiple of align)
+    fwd_mult: int = 1      # fwd chunk = fwd_mult * chunk (both kernels are LATENCY
+                           # bound per chunk body, ~2us each on v5e, so big chunks
+                           # amortize; bwd prefers finer early-exit granularity)
+    align: int = 128       # per-tile ranges are padded to multiples of this ONLY
+                           # (decoupled from the chunk sizes: each tile's final
+                           # partial chunk masks out-of-range lanes in-kernel, so
+                           # alignment padding stays at one lane-tile per tile
+                           # instead of one full fwd chunk)
 
     @property
-    def align_chunk(self) -> int:  # per-tile ranges are padded to multiples of this
+    def fwd_chunk(self) -> int:
         return self.chunk * self.fwd_mult
 
     @property
@@ -89,12 +97,12 @@ class BlendSpec(NamedTuple):
 
 def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chunk: int,
                     num_feat: int, budget: int, interpret: bool = False,
-                    fwd_mult: int = 2) -> BlendSpec:
+                    fwd_mult: int = 2, align: int | None = None) -> BlendSpec:
     if chunk <= 0:
         raise ValueError(f"chunk must be positive, got {chunk}")
     if chunk % 128 != 0 and not interpret:
         # On real TPU every instance DMA slices the packed buffer on the lane axis at a
-        # multiple of `chunk`; lane tiling is 128, so compiled mode requires alignment.
+        # multiple of `align`; lane tiling is 128, so compiled mode requires alignment.
         # Interpret mode (CPU tests) has no lane tiling and may use small chunks.
         raise ValueError(f"chunk must be a multiple of 128 (lane tiling of the aligned "
                          f"instance DMA), got {chunk}")
@@ -102,11 +110,20 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
         raise ValueError(f"fwd_mult must be >= 1, got {fwd_mult}")
     gx = -(-image_width // tile_size)
     gy = -(-image_height // tile_size)
-    align = chunk * fwd_mult
-    # worst case every tile has a partial chunk of padding
-    aligned = _round_up(budget + gx * gy * (align - 1), align)
+    if align is None:
+        align = min(chunk, 128) if not interpret else chunk
+    if chunk % align != 0 or (chunk * fwd_mult) % align != 0:
+        raise ValueError(f"chunk sizes must be multiples of align={align}")
+    if align % 128 != 0 and not interpret:
+        raise ValueError(f"align must be a multiple of 128 on TPU, got {align}")
+    # worst case every tile has a partial align-quantum of padding; the global tail
+    # gets one extra fwd chunk so a final partial-chunk DMA never reads out of bounds
+    aligned = (_round_up(budget + gx * gy * (align - 1), align)
+               + max(chunk, chunk * fwd_mult) - align)
+    aligned = _round_up(aligned, align)
     return BlendSpec(grid_x=gx, grid_y=gy, tile_size=tile_size, chunk=chunk,
-                     num_feat=num_feat, aligned_budget=aligned, fwd_mult=fwd_mult)
+                     num_feat=num_feat, aligned_budget=aligned, fwd_mult=fwd_mult,
+                     align=align)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -183,7 +200,7 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
     from langsplat_tpu.ops.tiles import propagate_to_segments
 
     n = prep.means2d.shape[0]
-    chunk = spec.align_chunk
+    chunk = spec.align
     budget = inst.gauss_id.shape[0]
     aligned = spec.aligned_budget
     counts = inst.tile_start[1:] - inst.tile_start[:-1]
@@ -248,18 +265,47 @@ def _triu_ones(c: int) -> jnp.ndarray:
     return jnp.where(row <= col, 1.0, 0.0).astype(jnp.float32)
 
 
-def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumulative sum along the lane axis, as one MXU triangular matmul.
-
-    A [P, C] x [C, C] contraction costs a few microseconds on the MXU while the
-    log-shift formulation is ~21 VPU passes over [P, C] (7 steps x roll+mask+add).
-    HIGHEST precision keeps the f32 accuracy the suffix-sum gradient math needs.
-    """
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.dot_general(
-        x, _triu_ones(x.shape[1]),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
+
+
+def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative sum along the lane axis on the MXU.
+
+    A dense [P, C] x [C, C] triangular contraction costs FLOPs linear in C per
+    element (total kernel cost grows with the chunk size), so for C > 128 the scan
+    is blocked: one 128-wide triangular matmul per diagonal block plus three tiny
+    contractions for the inter-block offsets — total cumulative-op FLOPs then stay
+    INDEPENDENT of the chunk size, letting large chunks amortize per-chunk latency
+    for free. HIGHEST precision keeps the f32 accuracy the suffix-sum gradient
+    math needs. (The log-shift alternative is ~21 VPU passes over [P, C].)
+    """
+    c = x.shape[1]
+    blk = 128
+    # blocking only pays past C=512: each extra tiny matmul pads its small dim to
+    # the 128 MXU tile and adds issue latency, which swamps the FLOP savings at
+    # C=256 (measured on v5e: bwd chunk bodies are latency-sensitive)
+    if c < 512 or c % blk != 0:
+        return _mm(x, _triu_ones(c))
+    nb = c // blk
+    tri = _triu_ones(blk)
+    y = jnp.concatenate([_mm(x[:, i * blk:(i + 1) * blk], tri) for i in range(nb)],
+                        axis=1)
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (c, nb), 0) // blk
+    blk_id = jax.lax.broadcasted_iota(jnp.int32, (c, nb), 1)
+    ind = jnp.where(col_blk == blk_id, 1.0, 0.0).astype(jnp.float32)   # [c, nb]
+    tot = _mm(x, ind)                                                  # [P, nb]
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    strict = jnp.where(row_b < col_b, 1.0, 0.0).astype(jnp.float32)
+    tot_ex = _mm(tot, strict)                                          # exclusive
+    blk_row = jax.lax.broadcasted_iota(jnp.int32, (nb, c), 0)
+    col_blk2 = jax.lax.broadcasted_iota(jnp.int32, (nb, c), 1) // blk
+    expand = jnp.where(blk_row == col_blk2, 1.0, 0.0).astype(jnp.float32)  # [nb, c]
+    return y + _mm(tot_ex, expand)
 
 
 def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
@@ -348,11 +394,13 @@ def _fwd_kernel(spec: BlendSpec,
     # signaled for the next grid step, which reuses the scratch).
     t = pl.program_id(0)
     start = start_ref[t]
-    fchunk = spec.align_chunk
+    fchunk = spec.fwd_chunk
     # start_ref holds [aligned starts (num_tiles+1) | true counts (num_tiles)]:
-    # iterating ceil(count/chunk) instead of padded_range/chunk skips the all-padding
-    # alignment chunks entirely (the last partial chunk is zero-opacity masked).
-    nchunks = (start_ref[spec.num_tiles + 1 + t] + fchunk - 1) // fchunk
+    # iterating ceil(count/chunk) skips alignment padding entirely; the final
+    # partial chunk may read past this tile's range (alignment is only
+    # spec.align, finer than the chunk), so out-of-range lanes are alpha-masked.
+    count = start_ref[spec.num_tiles + 1 + t]
+    nchunks = (count + fchunk - 1) // fchunk
     f32 = jnp.float32
     px, py = _pixel_coords(t, spec, f32)
     ncol = spec.blend_channels
@@ -362,7 +410,7 @@ def _fwd_kernel(spec: BlendSpec,
     done_ref[:, :] = jnp.zeros((spec.pixels, 1), f32)
 
     def copy_for(k, slot):
-        offset = pl.multiple_of(start + k * fchunk, fchunk)
+        offset = pl.multiple_of(start + k * fchunk, spec.align)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(offset, fchunk)],
             chunk_buf.at[slot], dma_sems.at[slot])
@@ -392,6 +440,11 @@ def _fwd_kernel(spec: BlendSpec,
             def _():
                 data = chunk_buf[slot]
                 alpha, _, _, _, _ = _chunk_alpha(data, px, py)
+                # final partial chunk: lanes at or past this tile's true count hold
+                # the NEXT tile's instances (alignment is finer than the chunk) —
+                # mask them out of the blend
+                lane = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+                alpha = jnp.where(lane < count - k * fchunk, alpha, 0.0)
                 t_carry = t_ref[:, :]
                 done = done_ref[:, :] > 0.0
                 _, w, _, t_new, done_new = _blend_state(alpha, t_carry, done)
@@ -440,7 +493,8 @@ def _bwd_kernel(spec: BlendSpec,
     del zeros_ref
     t = pl.program_id(0)
     start = start_ref[t]
-    nchunks = (start_ref[spec.num_tiles + 1 + t] + spec.chunk - 1) // spec.chunk
+    count = start_ref[spec.num_tiles + 1 + t]
+    nchunks = (count + spec.chunk - 1) // spec.chunk
     f32 = jnp.float32
     px, py = _pixel_coords(t, spec, f32)
     ncol = spec.blend_channels
@@ -469,13 +523,18 @@ def _bwd_kernel(spec: BlendSpec,
         axis=1)                                                # [P, 8]
 
     def in_copy(k, slot):
-        offset = pl.multiple_of(start + k * spec.chunk, spec.chunk)
+        offset = pl.multiple_of(start + k * spec.chunk, spec.align)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(offset, spec.chunk)],
             chunk_buf.at[slot], in_sems.at[slot])
 
     def out_copy(k, slot):
-        offset = pl.multiple_of(start + k * spec.chunk, spec.chunk)
+        # the final partial chunk's write may spill past this tile's range into the
+        # NEXT tile's slots with zero gradients (out-of-range lanes are alpha-masked
+        # below, so every gradient they produce vanishes); the grid runs tiles in
+        # order and the epilogue drains all writes, so the owning tile's later write
+        # always lands last — the spill is overwritten, never the other way round
+        offset = pl.multiple_of(start + k * spec.chunk, spec.align)
         return pltpu.make_async_copy(
             dchunk_buf.at[slot],
             dinst_ref.at[:, pl.ds(offset, spec.chunk)],
@@ -512,6 +571,12 @@ def _bwd_kernel(spec: BlendSpec,
     def _bwd_chunk(k, slot):
         data = chunk_buf[slot]
         alpha, gexp, dx, dy, keep = _chunk_alpha(data, px, py)
+        # mask lanes past this tile's true count (they hold the next tile's
+        # instances); every gradient they produce then vanishes identically
+        lane_m = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+        in_tile = lane_m < count - k * spec.chunk
+        alpha = jnp.where(in_tile, alpha, 0.0)
+        keep = keep & in_tile
         prefix = prefix_ref[:, :]
         t_carry = t_ref[:, :]
         done = done_ref[:, :] > 0.0
@@ -617,7 +682,7 @@ def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
         out_specs=pl.BlockSpec((1, spec.pixels, spec.out_channels),
                                lambda t, s: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, spec.rows, spec.align_chunk), jnp.float32),  # double buffer
+            pltpu.VMEM((2, spec.rows, spec.fwd_chunk), jnp.float32),  # double buffer
             pltpu.VMEM((spec.pixels, 1), jnp.float32),   # t_carry
             pltpu.VMEM((spec.pixels, 1), jnp.float32),   # done latch
             pltpu.SMEM((1,), jnp.int32),                 # copy-in-flight flag
@@ -721,12 +786,15 @@ def rasterize_pallas(
     chunk: int = 128,
     interpret: bool = False,
     means2d_override: jnp.ndarray | None = None,
+    fwd_mult: int = 2,
+    align: int | None = None,
 ) -> dict:
     """Full Pallas rasterization: pack -> blend -> assemble. Differentiable."""
     num_feat = 0 if features is None else features.shape[1]
     spec = make_blend_spec(image_height=image_height, image_width=image_width,
                            tile_size=tile_size, chunk=chunk, num_feat=num_feat,
-                           budget=inst.gauss_id.shape[0], interpret=interpret)
+                           budget=inst.gauss_id.shape[0], interpret=interpret,
+                           fwd_mult=fwd_mult, align=align)
     packed, p_off = pack_instances(prep, opacities, features, inst, spec,
                                    means2d_override=means2d_override)
     counts = inst.tile_start[1:] - inst.tile_start[:-1]

@@ -101,3 +101,61 @@ def test_pallas_rgb_only_no_features():
     np.testing.assert_allclose(np.asarray(pall["render"]),
                                np.asarray(dense["render"]), atol=3e-5)
     assert "language_feature_image" not in pall
+
+
+def test_pallas_align_finer_than_chunk():
+    """align < chunk: partial final chunks read (fwd) and write (bwd) past their
+    tile's range; in-kernel lane masking plus sequential-grid overwrite ordering
+    must keep values AND gradients exact."""
+    w = h = 32
+    ts = 16
+    cam = make_camera(w=w, h=h)
+    means, scales, quats, colors, opac, feats = random_scene(40, seed=11, spread=1.0)
+    target = np.random.default_rng(2).uniform(size=(3, h, w)).astype(np.float32)
+    bg = jnp.array([0.3, 0.1, 0.6])
+
+    def common(means3d, scales_, opac_, colors_, feats_):
+        return projection.preprocess(
+            means3d, scales_, jnp.asarray(quats), None,
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+            image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+            tanfovy=cam["tanfovy"], sh_degree=0, tile_size=ts,
+            colors_precomp=colors_)
+
+    def loss(raster):
+        def f(*args):
+            prep = common(*args)
+            inst = bin_gaussians(prep, grid_x=2, grid_y=2, budget=2048,
+                                 max_tiles_per_gaussian=16)
+            out = raster(prep, inst, args)
+            return (jnp.mean((out["render"] - target) ** 2)
+                    + jnp.mean(out["language_feature_image"] ** 2)
+                    + 0.1 * jnp.mean(out["final_transmittance"]))
+        return f
+
+    def r_fine(prep, inst, args):
+        # align=8 with bwd chunk 32 / fwd chunk 64: every tile whose count is not a
+        # multiple of 32 exercises masked lanes and bwd spill-overwrite
+        return rasterize_pallas(prep, inst, args[2], args[4], bg, image_height=h,
+                                image_width=w, tile_size=ts, chunk=32,
+                                interpret=True, align=8)
+
+    def r_ref(prep, inst, args):
+        return rasterize_pallas(prep, inst, args[2], args[4], bg, image_height=h,
+                                image_width=w, tile_size=ts, chunk=8,
+                                interpret=True)
+
+    def r_blocked(prep, inst, args):
+        # chunk 512 exercises the two-level blocked _cumsum_lanes (>=512 lanes)
+        return rasterize_pallas(prep, inst, args[2], args[4], bg, image_height=h,
+                                image_width=w, tile_size=ts, chunk=512,
+                                interpret=True, align=8, fwd_mult=1)
+
+    args = tuple(jnp.asarray(x) for x in (means, scales, opac, colors, feats))
+    la, ga = jax.value_and_grad(loss(r_ref), argnums=(0, 1, 2, 3, 4))(*args)
+    for variant, raster in [("fine-align", r_fine), ("blocked-cumsum", r_blocked)]:
+        lb, gb = jax.value_and_grad(loss(raster), argnums=(0, 1, 2, 3, 4))(*args)
+        np.testing.assert_allclose(float(lb), float(la), rtol=1e-5, err_msg=variant)
+        for nm, a, b in zip(["means", "scales", "opac", "colors", "feats"], ga, gb):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5,
+                                       err_msg=f"grad mismatch: {variant}/{nm}")
