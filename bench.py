@@ -75,7 +75,8 @@ def main():
                 tanfovx=tanf, tanfovy=tanf, sh_degree=0, tile_size=ts,
                 colors_precomp=c)
             inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
-                                 max_tiles_per_gaussian=32)
+                                 max_tiles_per_gaussian=32, tile_size=ts,
+                                 opacities=jax.lax.stop_gradient(o))
             out = rasterize_pallas(prep, inst, o, f, bg, image_height=h,
                                    image_width=w, tile_size=ts, chunk=chunk)
             return jnp.mean(out["render"] ** 2) + jnp.mean(
@@ -96,28 +97,28 @@ def main():
     env_budget = os.environ.get("BENCH_BUDGET")
 
     @jax.jit
-    def probe_count(m, s, q, c):
+    def probe_count(m, s, q, o, c):
+        from langsplat_tpu.ops.tiles import instance_counts
         prep = projection.preprocess(
             m, s, q, None, jnp.asarray(view), jnp.asarray(proj), jnp.asarray(campos),
             image_height=h, image_width=w, tanfovx=tanf, tanfovy=tanf,
             sh_degree=0, tile_size=ts, colors_precomp=c)
-        tw = prep.tiles_max[:, 0] - prep.tiles_min[:, 0]
-        th = prep.tiles_max[:, 1] - prep.tiles_min[:, 1]
-        return jnp.sum(jnp.where(prep.visible, jnp.minimum(tw * th, 32), 0))
+        return jnp.sum(instance_counts(prep, tile_size=ts, tmax=32, opacities=o))
 
-    measured = int(probe_count(args[0], args[1], args[2], args[4]))
+    measured = int(probe_count(args[0], args[1], args[2], args[3], args[4]))
     budget = int(env_budget) if env_budget else -(-int(measured * 1.1) // 4096) * 4096
 
     @jax.jit
-    def count_dropped(m, s, q, c):
+    def count_dropped(m, s, q, o, c):
         prep = projection.preprocess(
             m, s, q, None, jnp.asarray(view), jnp.asarray(proj), jnp.asarray(campos),
             image_height=h, image_width=w, tanfovx=tanf, tanfovy=tanf,
             sh_degree=0, tile_size=ts, colors_precomp=c)
         return bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
-                             max_tiles_per_gaussian=32).dropped
+                             max_tiles_per_gaussian=32, tile_size=ts,
+                             opacities=o).dropped
 
-    dropped = int(count_dropped(args[0], args[1], args[2], args[4]))
+    dropped = int(count_dropped(args[0], args[1], args[2], args[3], args[4]))
     if dropped > 0:
         raise RuntimeError(f"bench budget too small: {dropped} instances dropped "
                            f"at budget {budget}; set BENCH_BUDGET")

@@ -100,12 +100,13 @@ def render(
         norm = jnp.sqrt(jnp.sum(lf * lf, axis=-1, keepdims=True) + 1e-18)
         features = lf / (norm + 1e-9)
 
+    opac = field.get_opacity[:, 0]
     inst = bin_gaussians(
         jax.tree.map(jax.lax.stop_gradient, prep),
         grid_x=settings.grid_x, grid_y=settings.grid_y,
-        budget=budget, max_tiles_per_gaussian=settings.max_tiles_per_gaussian)
-
-    opac = field.get_opacity[:, 0]
+        budget=budget, max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+        tile_size=settings.tile_size,
+        opacities=jax.lax.stop_gradient(opac))
     if settings.backend == "tiled":
         out = rasterize_tiled(
             prep._replace(means2d=means2d), inst, opac, features, bg_color,
@@ -147,8 +148,8 @@ def count_instances(field, settings: RenderSettings, viewmatrix, projmatrix,
         scale_modifier=settings.scale_modifier,
         colors_precomp=jnp.zeros((cap, 3), jnp.float32),
         alive=field.alive)
-    w = prep.tiles_max[:, 0] - prep.tiles_min[:, 0]
-    h = prep.tiles_max[:, 1] - prep.tiles_min[:, 1]
-    count = jnp.where(prep.visible,
-                      jnp.minimum(w * h, settings.max_tiles_per_gaussian), 0)
+    from langsplat_tpu.ops.tiles import instance_counts
+    count = instance_counts(prep, tile_size=settings.tile_size,
+                            tmax=settings.max_tiles_per_gaussian,
+                            opacities=field.get_opacity[:, 0])
     return jnp.sum(count).astype(jnp.int32)

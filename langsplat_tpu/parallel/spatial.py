@@ -71,7 +71,9 @@ def band_from_prep(prep, opacity, features, settings: RenderSettings, band_index
     inst = bin_gaussians(jax.tree.map(jax.lax.stop_gradient, band_prep),
                          grid_x=settings.grid_x, grid_y=rows_per_band,
                          budget=budget,
-                         max_tiles_per_gaussian=settings.max_tiles_per_gaussian)
+                         max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+                         tile_size=settings.tile_size,
+                         opacities=jax.lax.stop_gradient(opacity))
 
     if settings.backend == "tiled":
         out = rasterize_tiled(band_prep._replace(means2d=means2d), inst, opacity,

@@ -100,9 +100,9 @@ def main():
         def probe_count(m, s, q, c):
             prep = projection.preprocess(m, s, q, None, view, proj, campos,
                                          colors_precomp=c, **kw)
-            tw = prep.tiles_max[:, 0] - prep.tiles_min[:, 0]
-            th = prep.tiles_max[:, 1] - prep.tiles_min[:, 1]
-            return jnp.sum(jnp.where(prep.visible, jnp.minimum(tw * th, 32), 0))
+            from langsplat_tpu.ops.tiles import instance_counts
+            return jnp.sum(instance_counts(prep, tile_size=ts, tmax=32,
+                                           opacities=jnp.asarray(opac)))
 
         measured = int(probe_count(*map(jnp.asarray, (means, scales, quats, colors))))
         budget = -(-int(measured * 1.1) // 4096) * 4096
@@ -120,14 +120,15 @@ def main():
         prep = projection.preprocess(m, s, q, None, view, proj, campos,
                                      colors_precomp=c, **kw)
         return bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
-                             max_tiles_per_gaussian=32)
+                             max_tiles_per_gaussian=32, tile_size=ts,
+                             opacities=jnp.asarray(opac))
 
     @jax.jit
     def stage_pack(m, s, q, c, o, f):
         prep = projection.preprocess(m, s, q, None, view, proj, campos,
                                      colors_precomp=c, **kw)
         inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
-                             max_tiles_per_gaussian=32)
+                             max_tiles_per_gaussian=32, tile_size=ts, opacities=o)
         return pack_instances(prep, o, f, inst, spec)
 
     @jax.jit
@@ -135,7 +136,7 @@ def main():
         prep = projection.preprocess(m, s, q, None, view, proj, campos,
                                      colors_precomp=c, **kw)
         inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
-                             max_tiles_per_gaussian=32)
+                             max_tiles_per_gaussian=32, tile_size=ts, opacities=o)
         packed, p_off = pack_instances(prep, o, f, inst, spec)
         sched = jnp.concatenate([p_off, inst.tile_start[1:] - inst.tile_start[:-1]])
         return blend_tiles(packed, sched, spec, False)
@@ -146,7 +147,8 @@ def main():
             prep = projection.preprocess(m, s, q, None, view, proj, campos,
                                          colors_precomp=c, **kw)
             inst = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=budget,
-                                 max_tiles_per_gaussian=32)
+                                 max_tiles_per_gaussian=32, tile_size=ts,
+                                 opacities=jax.lax.stop_gradient(o))
             packed, p_off = pack_instances(prep, o, f, inst, spec)
             sched = jnp.concatenate([p_off,
                                      inst.tile_start[1:] - inst.tile_start[:-1]])

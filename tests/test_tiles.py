@@ -120,3 +120,66 @@ def test_tiled_gradients_match_dense():
     gt = jax.grad(loss_tiled, argnums=(0, 1, 2, 3))(*args)
     for a, b in zip(gd, gt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_culled_binning_exact():
+    """tile_size-aware culling: per tile, the instance list is a depth-ordered SUBSET
+    of the rect list that still contains EVERY Gaussian able to reach alpha >= 1/255
+    at some pixel of the tile — so blending is bitwise identical while the instance
+    stream shrinks."""
+    cam = make_camera(w=64, h=48)
+    means, scales, quats, colors, opac, feats = random_scene(60, seed=6)
+    ts = 16
+    prep = run_preprocess(means, scales, quats, colors, cam, tile_size=ts)
+    gx, gy = 4, 3
+    rect = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=4096,
+                         max_tiles_per_gaussian=32)
+    geo = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=4096,
+                        max_tiles_per_gaussian=32, tile_size=ts)
+    culled = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=4096,
+                           max_tiles_per_gaussian=32, tile_size=ts,
+                           opacities=jnp.asarray(opac))
+    assert int(culled.dropped) == 0
+    assert int(geo.num_instances) < int(rect.num_instances)  # geometric culling works
+    # opacity-aware culling is at least as tight as geometric
+    assert int(culled.num_instances) <= int(geo.num_instances)
+
+    conics = np.asarray(prep.conics)
+    m2d = np.asarray(prep.means2d)
+    vis = np.asarray(prep.visible)
+    op = np.asarray(opac)
+    cs = np.asarray(culled.tile_start)
+    rs = np.asarray(rect.tile_start)
+    cgid = np.asarray(culled.gauss_id)
+    rgid = np.asarray(rect.gauss_id)
+    for t in range(gx * gy):
+        got = list(cgid[cs[t]:cs[t + 1]])
+        ref = list(rgid[rs[t]:rs[t + 1]])
+        # subset, same relative (depth) order
+        assert [i for i in ref if i in set(got)] == got
+        # completeness: any gaussian reaching alpha >= 1/255 in this tile is present
+        ty, tx = divmod(t, gx)
+        px, py = np.meshgrid(np.arange(tx * ts, tx * ts + ts),
+                             np.arange(ty * ts, ty * ts + ts))
+        for i in ref:
+            if i in set(got) or not vis[i]:
+                continue
+            dx = px - m2d[i, 0]
+            dy = py - m2d[i, 1]
+            power = (-0.5 * (conics[i, 0] * dx * dx + conics[i, 2] * dy * dy)
+                     - conics[i, 1] * dx * dy)
+            alpha = np.minimum(0.99, op[i] * np.exp(np.minimum(power, 0.0)))
+            assert (alpha * (power <= 0)).max() < 1.0 / 255.0, \
+                f"tile {t}: culled gaussian {i} still contributes"
+
+    # pixel parity: culled instances blend to the same image as the dense oracle
+    bg = jnp.array([0.2, 0.4, 0.9])
+    dense = rasterize_dense(prep, jnp.asarray(opac), jnp.asarray(feats), bg,
+                            image_height=48, image_width=64, tile_size=ts)
+    tiled = rasterize_tiled(prep, culled, jnp.asarray(opac), jnp.asarray(feats), bg,
+                            image_height=48, image_width=64, tile_size=ts,
+                            max_per_tile=128)
+    np.testing.assert_allclose(np.asarray(tiled["render"]),
+                               np.asarray(dense["render"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tiled["final_transmittance"]),
+                               np.asarray(dense["final_transmittance"]), atol=2e-5)
