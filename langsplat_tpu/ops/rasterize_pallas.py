@@ -78,6 +78,10 @@ class BlendSpec(NamedTuple):
     def num_tiles(self) -> int:
         return self.grid_x * self.grid_y
 
+    def padded_tiles(self, nmemb: int) -> int:
+        """Tile count padded to a multiple of the per-grid-step member count."""
+        return _round_up(self.num_tiles, nmemb)
+
     @property
     def pixels(self) -> int:
         return self.tile_size * self.tile_size
@@ -382,84 +386,100 @@ def _fwd_kernel(spec: BlendSpec,
                 inst_ref,             # HBM [rows, aligned_budget]
                 out_ref,              # VMEM block [1, pixels, out_channels]
                 chunk_buf, t_ref, done_ref, flag_ref, dma_sems):
-    # Loop state lives in VMEM scratch refs (t_ref/done_ref [pixels,1], the accumulator
-    # directly in out_ref): fori_loop with predicated bodies — value carries would force
-    # Mosaic to unify vector layouts across iterations (lane-slices/reductions yield
-    # offset/replicated layouts that clash with the offset-0 initials).
+    # Loop state lives in VMEM scratch refs (t_ref/done_ref [nmemb, pixels, 1], the
+    # accumulator directly in out_ref): fori_loop with predicated bodies — value
+    # carries would force Mosaic to unify vector layouts across iterations
+    # (lane-slices/reductions yield offset/replicated layouts that clash with the
+    # offset-0 initials).
     #
-    # The instance stream is double-buffered: chunk k+1's DMA is issued before chunk k's
-    # compute, so HBM reads overlap VPU/MXU work. flag_ref (SMEM) tracks whether a copy
-    # is in flight — needed because the early-exit prefix leaves exactly one issued-but-
-    # unconsumed DMA that must be drained (an un-waited DMA leaves its semaphore
-    # signaled for the next grid step, which reuses the scratch).
-    t = pl.program_id(0)
-    start = start_ref[t]
+    # The instance stream is double-buffered per member: chunk k+1's DMA is issued
+    # before chunk k's compute, so HBM reads overlap VPU/MXU work. flag_ref (SMEM)
+    # tracks whether a copy is in flight — needed because the early-exit prefix
+    # leaves exactly one issued-but-unconsumed DMA that must be drained.
+    #
+    # `nmemb` INDEPENDENT tiles process per grid step, their chunk bodies emitted
+    # interleaved: each body is a serial scalar/DMA/VPU/MXU latency chain (~1.5-2us
+    # on v5e), so independent chains let the units overlap and the per-grid-step
+    # pipeline overhead amortizes.
     fchunk = spec.fwd_chunk
-    # start_ref holds [aligned starts (num_tiles+1) | true counts (num_tiles)]:
-    # iterating ceil(count/chunk) skips alignment padding entirely; the final
-    # partial chunk may read past this tile's range (alignment is only
-    # spec.align, finer than the chunk), so out-of-range lanes are alpha-masked.
-    count = start_ref[spec.num_tiles + 1 + t]
-    nchunks = (count + fchunk - 1) // fchunk
     f32 = jnp.float32
-    px, py = _pixel_coords(t, spec, f32)
     ncol = spec.blend_channels
+    pid = pl.program_id(0)
+    nmemb = t_ref.shape[0]
 
-    out_ref[0, :, :] = jnp.zeros((spec.pixels, spec.out_channels), f32)
-    t_ref[:, :] = jnp.ones((spec.pixels, 1), f32)
-    done_ref[:, :] = jnp.zeros((spec.pixels, 1), f32)
+    starts, counts, nchunk_l, px_l, py_l = [], [], [], [], []
+    for u in range(nmemb):
+        t = pid * nmemb + u
+        starts.append(start_ref[t])
+        # start_ref holds [aligned starts (NT'+1) | true counts (NT')]: iterating
+        # ceil(count/chunk) skips alignment padding entirely; the final partial
+        # chunk may read past this tile's range (alignment is finer than the
+        # chunk), so out-of-range lanes are alpha-masked.
+        counts.append(start_ref[spec.padded_tiles(nmemb) + 1 + t])
+        nchunk_l.append((counts[u] + fchunk - 1) // fchunk)
+        px, py = _pixel_coords(t, spec, f32)
+        px_l.append(px)
+        py_l.append(py)
+        out_ref[u, :, :] = jnp.zeros((spec.pixels, spec.out_channels), f32)
+        t_ref[u, :, :] = jnp.ones((spec.pixels, 1), f32)
+        done_ref[u, :, :] = jnp.zeros((spec.pixels, 1), f32)
 
-    def copy_for(k, slot):
-        offset = pl.multiple_of(start + k * fchunk, spec.align)
+    def copy_for(u, k, slot):
+        offset = pl.multiple_of(starts[u] + k * fchunk, spec.align)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(offset, fchunk)],
-            chunk_buf.at[slot], dma_sems.at[slot])
+            chunk_buf.at[u, slot], dma_sems.at[u, slot])
 
-    @pl.when(nchunks > 0)
-    def _():
-        copy_for(0, 0).start()
-    flag_ref[0] = jnp.where(nchunks > 0, 1, 0)
+    for u in range(nmemb):
+        @pl.when(nchunk_l[u] > 0)
+        def _(u=u):
+            copy_for(u, 0, 0).start()
+        flag_ref[u] = jnp.where(nchunk_l[u] > 0, 1, 0)
 
     def body(k, _):
-        inflight = flag_ref[0] == 1
+        for u in range(nmemb):
+            inflight = flag_ref[u] == 1
 
-        @pl.when(inflight)
-        def _():
-            alive = jnp.max(1.0 - done_ref[:, :]) > 0.0
-            slot = jax.lax.rem(k, 2)
-            copy_for(k, slot).wait()
-            do_issue = alive & (k + 1 < nchunks)
+            @pl.when(inflight)
+            def _(u=u):
+                alive = jnp.max(1.0 - done_ref[u, :, :]) > 0.0
+                slot = jax.lax.rem(k, 2)
+                copy_for(u, k, slot).wait()
+                do_issue = alive & (k + 1 < nchunk_l[u])
 
-            @pl.when(do_issue)
-            def _():
-                copy_for(k + 1, jax.lax.rem(k + 1, 2)).start()
+                @pl.when(do_issue)
+                def _():
+                    copy_for(u, k + 1, jax.lax.rem(k + 1, 2)).start()
 
-            flag_ref[0] = jnp.where(do_issue, 1, 0)
+                flag_ref[u] = jnp.where(do_issue, 1, 0)
 
-            @pl.when(alive)
-            def _():
-                data = chunk_buf[slot]
-                alpha, _, _, _, _ = _chunk_alpha(data, px, py)
-                # final partial chunk: lanes at or past this tile's true count hold
-                # the NEXT tile's instances (alignment is finer than the chunk) —
-                # mask them out of the blend
-                lane = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
-                alpha = jnp.where(lane < count - k * fchunk, alpha, 0.0)
-                t_carry = t_ref[:, :]
-                done = done_ref[:, :] > 0.0
-                _, w, _, t_new, done_new = _blend_state(alpha, t_carry, done)
-                # acc[p, ch] += sum_i w[p, i] * attrs[ch, i] (MXU over the chunk)
-                out_ref[0, :, 0:ncol] += jax.lax.dot_general(
-                    w, data[ROW_R:ROW_R + ncol, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                t_ref[:, :] = t_new
-                done_ref[:, :] = jnp.where(done_new, 1.0, 0.0)
+                @pl.when(alive)
+                def _():
+                    data = chunk_buf[u, slot]
+                    alpha, _, _, _, _ = _chunk_alpha(data, px_l[u], py_l[u])
+                    # final partial chunk: lanes at or past this tile's true count
+                    # hold the NEXT tile's instances — mask them out of the blend
+                    lane = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+                    alpha = jnp.where(lane < counts[u] - k * fchunk, alpha, 0.0)
+                    t_carry = t_ref[u, :, :]
+                    done = done_ref[u, :, :] > 0.0
+                    _, w, _, t_new, done_new = _blend_state(alpha, t_carry, done)
+                    # acc[p, ch] += sum_i w[p, i] * attrs[ch, i] (MXU over chunk)
+                    out_ref[u, :, 0:ncol] += jax.lax.dot_general(
+                        w, data[ROW_R:ROW_R + ncol, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    t_ref[u, :, :] = t_new
+                    done_ref[u, :, :] = jnp.where(done_new, 1.0, 0.0)
 
         return ()
 
-    jax.lax.fori_loop(0, nchunks, body, ())
-    out_ref[0, :, ncol:ncol + 1] = t_ref[:, :]
+    nmax = nchunk_l[0]
+    for u in range(1, nmemb):
+        nmax = jnp.maximum(nmax, nchunk_l[u])
+    jax.lax.fori_loop(0, nmax, body, ())
+    for u in range(nmemb):
+        out_ref[u, :, ncol:ncol + 1] = t_ref[u, :, :]
 
 
 def _pixel_coords(tile_idx, spec: BlendSpec, dtype):
@@ -490,110 +510,102 @@ def _bwd_kernel(spec: BlendSpec,
     # only reclaimed when chunk k+2 computes (writes are issued on the alive prefix of
     # chunks, so the write for k-2 is always in flight when compute k runs). wcount_ref
     # records issued writes so the epilogue can drain the last <=2.
+    #
+    # Like the forward kernel, `nmemb` independent tiles interleave per grid step.
+    # Gradient-write safety: members are only paired when chunk == align (no spill
+    # writes exist then — every tile's chunks cover exactly its padded range), so
+    # no write of one member can overlap another member's slots.
     del zeros_ref
-    t = pl.program_id(0)
-    start = start_ref[t]
-    count = start_ref[spec.num_tiles + 1 + t]
-    nchunks = (count + spec.chunk - 1) // spec.chunk
     f32 = jnp.float32
-    px, py = _pixel_coords(t, spec, f32)
     ncol = spec.blend_channels
-
-    g_blend = gout_ref[0, :, 0:ncol]                           # [P, ncol]
-    g_t = gout_ref[0, :, ncol:ncol + 1]                        # [P, 1] dL/dT_final
-    total = res_ref[0, :, 0:1]                                 # [P, 1]
-    t_final = res_ref[0, :, 1:2]                               # [P, 1]
-    tail_term = g_t * t_final
-
-    prefix_ref[:, :] = jnp.zeros((spec.pixels, 1), f32)
-    t_ref[:, :] = jnp.ones((spec.pixels, 1), f32)
-    done_ref[:, :] = jnp.zeros((spec.pixels, 1), f32)
-
-    # Loop-invariant pixel polynomial basis for the moment contraction (see _bwd_chunk):
-    # tile-centered coordinates keep the quadratic columns well-conditioned in f32.
     ts = spec.tile_size
-    cx = (pl.program_id(0) % spec.grid_x) * ts + ts * 0.5
-    cy = (pl.program_id(0) // spec.grid_x) * ts + ts * 0.5
-    pxc = px - cx
-    pyc = py - cy
-    ones_col = jnp.ones((spec.pixels, 1), f32)
-    zeros_col = jnp.zeros((spec.pixels, 1), f32)
-    pbasis = jnp.concatenate(
-        [ones_col, pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc, zeros_col, zeros_col],
-        axis=1)                                                # [P, 8]
+    pid = pl.program_id(0)
+    nmemb = t_ref.shape[0]
 
-    def in_copy(k, slot):
-        offset = pl.multiple_of(start + k * spec.chunk, spec.align)
+    starts, counts, nchunk_l, px_l, py_l = [], [], [], [], []
+    g_blend_l, tail_l, total_l, pbasis_l, cx_l, cy_l = [], [], [], [], [], []
+    for u in range(nmemb):
+        t = pid * nmemb + u
+        starts.append(start_ref[t])
+        counts.append(start_ref[spec.padded_tiles(nmemb) + 1 + t])
+        nchunk_l.append((counts[u] + spec.chunk - 1) // spec.chunk)
+        px, py = _pixel_coords(t, spec, f32)
+        px_l.append(px)
+        py_l.append(py)
+        g_blend_l.append(gout_ref[u, :, 0:ncol])               # [P, ncol]
+        g_t = gout_ref[u, :, ncol:ncol + 1]                    # [P, 1] dL/dT_final
+        total_l.append(res_ref[u, :, 0:1])                     # [P, 1]
+        t_final = res_ref[u, :, 1:2]                           # [P, 1]
+        tail_l.append(g_t * t_final)
+        prefix_ref[u, :, :] = jnp.zeros((spec.pixels, 1), f32)
+        t_ref[u, :, :] = jnp.ones((spec.pixels, 1), f32)
+        done_ref[u, :, :] = jnp.zeros((spec.pixels, 1), f32)
+        # Loop-invariant pixel polynomial basis for the moment contraction (see
+        # _bwd_chunk): tile-centered coordinates keep the quadratic columns
+        # well-conditioned in f32.
+        cx = (t % spec.grid_x) * ts + ts * 0.5
+        cy = (t // spec.grid_x) * ts + ts * 0.5
+        cx_l.append(cx)
+        cy_l.append(cy)
+        pxc = px - cx
+        pyc = py - cy
+        ones_col = jnp.ones((spec.pixels, 1), f32)
+        zeros_col = jnp.zeros((spec.pixels, 1), f32)
+        pbasis_l.append(jnp.concatenate(
+            [ones_col, pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc, zeros_col,
+             zeros_col], axis=1))                              # [P, 8]
+
+    def in_copy(u, k, slot):
+        offset = pl.multiple_of(starts[u] + k * spec.chunk, spec.align)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(offset, spec.chunk)],
-            chunk_buf.at[slot], in_sems.at[slot])
+            chunk_buf.at[u, slot], in_sems.at[u, slot])
 
-    def out_copy(k, slot):
-        # the final partial chunk's write may spill past this tile's range into the
-        # NEXT tile's slots with zero gradients (out-of-range lanes are alpha-masked
-        # below, so every gradient they produce vanishes); the grid runs tiles in
-        # order and the epilogue drains all writes, so the owning tile's later write
+    def out_copy(u, k, slot):
+        # single-member mode only: the final partial chunk's write may spill past
+        # this tile's range into the NEXT tile's slots with zero gradients
+        # (out-of-range lanes are alpha-masked below); the grid runs tiles in order
+        # and the epilogue drains all writes, so the owning tile's later write
         # always lands last — the spill is overwritten, never the other way round
-        offset = pl.multiple_of(start + k * spec.chunk, spec.align)
+        offset = pl.multiple_of(starts[u] + k * spec.chunk, spec.align)
         return pltpu.make_async_copy(
-            dchunk_buf.at[slot],
+            dchunk_buf.at[u, slot],
             dinst_ref.at[:, pl.ds(offset, spec.chunk)],
-            out_sems.at[slot])
+            out_sems.at[u, slot])
 
-    @pl.when(nchunks > 0)
-    def _():
-        in_copy(0, 0).start()
-    flag_ref[0] = jnp.where(nchunks > 0, 1, 0)
-    wcount_ref[0] = 0
+    for u in range(nmemb):
+        @pl.when(nchunk_l[u] > 0)
+        def _(u=u):
+            in_copy(u, 0, 0).start()
+        flag_ref[u] = jnp.where(nchunk_l[u] > 0, 1, 0)
+        wcount_ref[u] = 0
 
-    def body(k, _):
-        inflight = flag_ref[0] == 1
-
-        @pl.when(inflight)
-        def _():
-            alive = jnp.max(1.0 - done_ref[:, :]) > 0.0
-            slot = jax.lax.rem(k, 2)
-            in_copy(k, slot).wait()
-            do_issue = alive & (k + 1 < nchunks)
-
-            @pl.when(do_issue)
-            def _():
-                in_copy(k + 1, jax.lax.rem(k + 1, 2)).start()
-
-            flag_ref[0] = jnp.where(do_issue, 1, 0)
-
-            @pl.when(alive)
-            def _():
-                _bwd_chunk(k, slot)
-
-        return ()
-
-    def _bwd_chunk(k, slot):
-        data = chunk_buf[slot]
-        alpha, gexp, dx, dy, keep = _chunk_alpha(data, px, py)
+    def _bwd_chunk(u, k, slot):
+        data = chunk_buf[u, slot]
+        alpha, gexp, dx, dy, keep = _chunk_alpha(data, px_l[u], py_l[u])
         # mask lanes past this tile's true count (they hold the next tile's
         # instances); every gradient they produce then vanishes identically
         lane_m = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
-        in_tile = lane_m < count - k * spec.chunk
+        in_tile = lane_m < counts[u] - k * spec.chunk
         alpha = jnp.where(in_tile, alpha, 0.0)
         keep = keep & in_tile
-        prefix = prefix_ref[:, :]
-        t_carry = t_ref[:, :]
-        done = done_ref[:, :] > 0.0
+        prefix = prefix_ref[u, :, :]
+        t_carry = t_ref[u, :, :]
+        done = done_ref[u, :, :] > 0.0
         eff, w, t_excl, t_new, done_new = _blend_state(alpha, t_carry, done)
 
         # gdot[p, i] = sum_ch g_ch[p] * attr_ch[i]
         gdot = jax.lax.dot_general(
-            g_blend, data[ROW_R:ROW_R + ncol, :],
+            g_blend_l[u], data[ROW_R:ROW_R + ncol, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # [P, C]
         contrib = w * gdot
         prefix_incl = prefix + _cumsum_lanes(contrib)
-        suffix = total - prefix_incl
+        suffix = total_l[u] - prefix_incl
         live = (eff > 0.0) & keep
         dalpha = jnp.where(
             live,
-            t_excl * gdot - (suffix + tail_term) / (1.0 - eff + 1e-20),
+            t_excl * gdot - (suffix + tail_l[u]) / (1.0 - eff + 1e-20),
             0.0)
 
         # chain: alpha = min(0.99, opa * gexp); clamped -> zero grad (jnp semantics)
@@ -606,7 +618,7 @@ def _bwd_kernel(spec: BlendSpec,
         # MXU contraction instead of ~25 VPU passes + 6 sublane reductions. d_opa uses
         # dag*gexp == dpower/opa (exact where unclamped; both sides 0 elsewhere).
         mom = jax.lax.dot_general(
-            pbasis, dpower,
+            pbasis_l[u], dpower,
             dimension_numbers=(((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)                # [8, C]
@@ -619,8 +631,8 @@ def _bwd_kernel(spec: BlendSpec,
         ca = data[ROW_CA:ROW_CA + 1, :]
         cb = data[ROW_CB:ROW_CB + 1, :]
         cc = data[ROW_CC:ROW_CC + 1, :]
-        mxq = data[ROW_MX:ROW_MX + 1, :] - cx                  # [1, C] tile-centered
-        myq = data[ROW_MY:ROW_MY + 1, :] - cy
+        mxq = data[ROW_MX:ROW_MX + 1, :] - cx_l[u]             # [1, C] tile-centered
+        myq = data[ROW_MY:ROW_MY + 1, :] - cy_l[u]
         sdx = m_x - mxq * m0                                   # sum dpower*dx
         sdy = m_y - myq * m0
         d_opa = jnp.where(opa > 0.0, m0 / jnp.where(opa > 0.0, opa, 1.0), 0.0)
@@ -631,96 +643,160 @@ def _bwd_kernel(spec: BlendSpec,
         d_my = cc * sdy + cb * sdx
         # d attrs[ch, i] = sum_p g_blend[p, ch] * w[p, i]
         d_attr = jax.lax.dot_general(
-            g_blend, w,
+            g_blend_l[u], w,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # [ncol, C]
 
-        # reclaim dchunk_buf[slot]: the write issued for chunk k-2 used this slot
+        # reclaim dchunk_buf[u, slot]: the write issued for chunk k-2 used this slot
         @pl.when(k >= 2)
         def _():
-            out_copy(k - 2, slot).wait()
+            out_copy(u, k - 2, slot).wait()
 
-        dchunk_buf[slot, ROW_MX:ROW_MX + 1, :] = d_mx
-        dchunk_buf[slot, ROW_MY:ROW_MY + 1, :] = d_my
-        dchunk_buf[slot, ROW_CA:ROW_CA + 1, :] = d_ca
-        dchunk_buf[slot, ROW_CB:ROW_CB + 1, :] = d_cb
-        dchunk_buf[slot, ROW_CC:ROW_CC + 1, :] = d_cc
-        dchunk_buf[slot, ROW_OPA:ROW_OPA + 1, :] = d_opa
-        dchunk_buf[slot, ROW_R:ROW_R + ncol, :] = d_attr
+        dchunk_buf[u, slot, ROW_MX:ROW_MX + 1, :] = d_mx
+        dchunk_buf[u, slot, ROW_MY:ROW_MY + 1, :] = d_my
+        dchunk_buf[u, slot, ROW_CA:ROW_CA + 1, :] = d_ca
+        dchunk_buf[u, slot, ROW_CB:ROW_CB + 1, :] = d_cb
+        dchunk_buf[u, slot, ROW_CC:ROW_CC + 1, :] = d_cc
+        dchunk_buf[u, slot, ROW_OPA:ROW_OPA + 1, :] = d_opa
+        dchunk_buf[u, slot, ROW_R:ROW_R + ncol, :] = d_attr
         if spec.rows > D_BASE + spec.num_feat:
-            dchunk_buf[slot, D_BASE + spec.num_feat:, :] = jnp.zeros(
+            dchunk_buf[u, slot, D_BASE + spec.num_feat:, :] = jnp.zeros(
                 (spec.rows - D_BASE - spec.num_feat, spec.chunk), f32)
-        out_copy(k, slot).start()
-        wcount_ref[0] = k + 1
-        prefix_ref[:, :] = prefix + jnp.sum(contrib, axis=1, keepdims=True)
-        t_ref[:, :] = t_new
-        done_ref[:, :] = jnp.where(done_new, 1.0, 0.0)
+        out_copy(u, k, slot).start()
+        wcount_ref[u] = k + 1
+        prefix_ref[u, :, :] = prefix + jnp.sum(contrib, axis=1, keepdims=True)
+        t_ref[u, :, :] = t_new
+        done_ref[u, :, :] = jnp.where(done_new, 1.0, 0.0)
 
-    jax.lax.fori_loop(0, nchunks, body, ())
+    def body(k, _):
+        for u in range(nmemb):
+            inflight = flag_ref[u] == 1
 
-    # drain the last <=2 outstanding gradient writes
-    wn = wcount_ref[0]
+            @pl.when(inflight)
+            def _(u=u):
+                alive = jnp.max(1.0 - done_ref[u, :, :]) > 0.0
+                slot = jax.lax.rem(k, 2)
+                in_copy(u, k, slot).wait()
+                do_issue = alive & (k + 1 < nchunk_l[u])
 
-    @pl.when(wn >= 1)
-    def _():
-        out_copy(wn - 1, jax.lax.rem(wn - 1, 2)).wait()
+                @pl.when(do_issue)
+                def _():
+                    in_copy(u, k + 1, jax.lax.rem(k + 1, 2)).start()
 
-    @pl.when(wn >= 2)
-    def _():
-        out_copy(wn - 2, jax.lax.rem(wn - 2, 2)).wait()
+                flag_ref[u] = jnp.where(do_issue, 1, 0)
+
+                @pl.when(alive)
+                def _():
+                    _bwd_chunk(u, k, slot)
+
+        return ()
+
+    nmax = nchunk_l[0]
+    for u in range(1, nmemb):
+        nmax = jnp.maximum(nmax, nchunk_l[u])
+    jax.lax.fori_loop(0, nmax, body, ())
+
+    # drain the last <=2 outstanding gradient writes per member
+    for u in range(nmemb):
+        wn = wcount_ref[u]
+
+        @pl.when(wn >= 1)
+        def _(u=u, wn=wn):
+            out_copy(u, wn - 1, jax.lax.rem(wn - 1, 2)).wait()
+
+        @pl.when(wn >= 2)
+        def _(u=u, wn=wn):
+            out_copy(u, wn - 2, jax.lax.rem(wn - 2, 2)).wait()
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
+def _pad_sched(aligned_start, spec: BlendSpec, nmemb: int):
+    """[starts (NT+1) | counts (NT)] -> padded [starts (NT'+1) | counts (NT')]."""
+    nt = spec.num_tiles
+    ntp = spec.padded_tiles(nmemb)
+    if ntp == nt:
+        return aligned_start
+    starts = aligned_start[:nt + 1]
+    counts = aligned_start[nt + 1:]
+    pad = ntp - nt
+    starts = jnp.concatenate([starts, jnp.repeat(starts[-1:], pad)])
+    counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
+    return jnp.concatenate([starts, counts])
+
+
+# Independent tiles processed per grid step: their serial per-chunk latency chains
+# (DMA waits + ~6 MXU issues each, ~2-5us) interleave, and the per-grid-step
+# pipeline overhead amortizes (the bwd kernel's empty-work floor measured ~5.4us
+# per step on v5e).
+NMEMB = 2
+
+
 def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
+    nmemb = NMEMB if spec.num_tiles >= NMEMB else 1
+    ntp = spec.padded_tiles(nmemb)
+    sched = _pad_sched(aligned_start, spec, nmemb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(spec.num_tiles,),
+        grid=(ntp // nmemb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, spec.pixels, spec.out_channels),
+        out_specs=pl.BlockSpec((nmemb, spec.pixels, spec.out_channels),
                                lambda t, s: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, spec.rows, spec.fwd_chunk), jnp.float32),  # double buffer
-            pltpu.VMEM((spec.pixels, 1), jnp.float32),   # t_carry
-            pltpu.VMEM((spec.pixels, 1), jnp.float32),   # done latch
-            pltpu.SMEM((1,), jnp.int32),                 # copy-in-flight flag
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nmemb, 2, spec.rows, spec.fwd_chunk), jnp.float32),
+            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # t_carry
+            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # done latch
+            pltpu.SMEM((nmemb,), jnp.int32),             # copy-in-flight flags
+            pltpu.SemaphoreType.DMA((nmemb, 2)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, spec),
-        out_shape=jax.ShapeDtypeStruct((spec.num_tiles, spec.pixels, spec.out_channels),
+        out_shape=jax.ShapeDtypeStruct((ntp, spec.pixels, spec.out_channels),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(aligned_start, packed)
+    )(sched, packed)
+    return out[:spec.num_tiles]
 
 
 def _bwd_call(packed, aligned_start, g_out, residuals, spec: BlendSpec, interpret: bool):
+    # pairing is only write-safe when chunk == align: then every tile's chunks
+    # cover exactly its padded range (no spill writes), so concurrent members
+    # cannot touch each other's slots
+    nmemb = NMEMB if (spec.chunk == spec.align and spec.num_tiles >= NMEMB) else 1
+    ntp = spec.padded_tiles(nmemb)
+    sched = _pad_sched(aligned_start, spec, nmemb)
+    if ntp != spec.num_tiles:
+        pad = ntp - spec.num_tiles
+        g_out = jnp.concatenate(
+            [g_out, jnp.zeros((pad,) + g_out.shape[1:], g_out.dtype)])
+        residuals = jnp.concatenate(
+            [residuals, jnp.zeros((pad,) + residuals.shape[1:], residuals.dtype)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(spec.num_tiles,),
+        grid=(ntp // nmemb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # packed
-            pl.BlockSpec((1, spec.pixels, spec.out_channels),
+            pl.BlockSpec((nmemb, spec.pixels, spec.out_channels),
                          lambda t, s: (t, 0, 0)),   # g_out
-            pl.BlockSpec((1, spec.pixels, 2),
+            pl.BlockSpec((nmemb, spec.pixels, 2),
                          lambda t, s: (t, 0, 0)),   # (Total, T_final)
             pl.BlockSpec(memory_space=pl.ANY),   # zero-init grads (aliased to output)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, spec.rows, spec.chunk), jnp.float32),  # in double buffer
-            pltpu.VMEM((2, spec.rows, spec.chunk), jnp.float32),  # out double buffer
-            pltpu.VMEM((spec.pixels, 1), jnp.float32),   # prefix carry
-            pltpu.VMEM((spec.pixels, 1), jnp.float32),   # t_carry
-            pltpu.VMEM((spec.pixels, 1), jnp.float32),   # done latch
-            pltpu.SMEM((1,), jnp.int32),                 # copy-in-flight flag
-            pltpu.SMEM((1,), jnp.int32),                 # issued-write count
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nmemb, 2, spec.rows, spec.chunk), jnp.float32),  # in bufs
+            pltpu.VMEM((nmemb, 2, spec.rows, spec.chunk), jnp.float32),  # out bufs
+            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # prefix carry
+            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # t_carry
+            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # done latch
+            pltpu.SMEM((nmemb,), jnp.int32),             # copy-in-flight flags
+            pltpu.SMEM((nmemb,), jnp.int32),             # issued-write counts
+            pltpu.SemaphoreType.DMA((nmemb, 2)),
+            pltpu.SemaphoreType.DMA((nmemb, 2)),
         ],
     )
     zeros = jnp.zeros_like(packed)
@@ -730,7 +806,7 @@ def _bwd_call(packed, aligned_start, g_out, residuals, spec: BlendSpec, interpre
         grid_spec=grid_spec,
         input_output_aliases={4: 0},  # zeros input (incl. scalar prefetch) -> grad output
         interpret=interpret,
-    )(aligned_start, packed, g_out, residuals, zeros)
+    )(sched, packed, g_out, residuals, zeros)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -159,3 +159,23 @@ def test_pallas_align_finer_than_chunk():
         for nm, a, b in zip(["means", "scales", "opac", "colors", "feats"], ga, gb):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5,
                                        err_msg=f"grad mismatch: {variant}/{nm}")
+
+
+def test_pallas_odd_tile_count():
+    """3x1 tile grid: the paired-tile kernels pad the grid with a zero-count tile."""
+    w, h, ts = 48, 16, 16
+    cam = make_camera(w=w, h=h)
+    means, scales, quats, colors, opac, feats = random_scene(60, seed=13)
+    prep = run_preprocess(means, scales, quats, colors, cam, tile_size=ts)
+    inst = bin_gaussians(prep, grid_x=3, grid_y=1, budget=2048,
+                         max_tiles_per_gaussian=16)
+    bg = jnp.array([0.5, 0.1, 0.2])
+    dense = rasterize_dense(prep, jnp.asarray(opac), jnp.asarray(feats), bg,
+                            image_height=h, image_width=w, tile_size=ts)
+    pall = rasterize_pallas(prep, inst, jnp.asarray(opac), jnp.asarray(feats), bg,
+                            image_height=h, image_width=w, tile_size=ts,
+                            chunk=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(pall["render"]),
+                               np.asarray(dense["render"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(pall["final_transmittance"]),
+                               np.asarray(dense["final_transmittance"]), atol=3e-5)
