@@ -37,24 +37,29 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
     g = g / g.sum()
-    return np.outer(g, g).astype(np.float32)
+    return g.astype(np.float32)
 
 
 def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """img [C, H, W] (or [B, C, H, W]) depthwise SAME conv with a shared 2D window."""
+    """img [C, H, W] (or [B, C, H, W]) depthwise SAME blur with a separable window.
+
+    The 2-D Gaussian window factors as outer(g, g), so two 1-D k-tap passes do the
+    work of one k*k-tap conv (5.5x fewer MACs at k=11) — identical result up to f32
+    rounding (matches the reference's conv2d of the outer-product window).
+    """
     squeeze = img.ndim == 3
     if squeeze:
         img = img[None]
     c = img.shape[1]
     k = window.shape[0]
-    kernel = jnp.broadcast_to(window[None, None], (c, 1, k, k))
+    kh = jnp.broadcast_to(window[None, None, :, None], (c, 1, k, 1))
+    kw = jnp.broadcast_to(window[None, None, None, :], (c, 1, 1, k))
     out = jax.lax.conv_general_dilated(
-        img, kernel,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-    )
+        img, kh, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+    out = jax.lax.conv_general_dilated(
+        out, kw, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
     return out[0] if squeeze else out
 
 
