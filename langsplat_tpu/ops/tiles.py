@@ -169,9 +169,14 @@ def tile_pass_mask(prep: PreprocessOut, *, tile_size: int, tmax: int,
     passing = (j < rect) & (qmin <= lam) & prep.visible[:, None]
     bits = jnp.sum(jnp.where(passing, jnp.uint32(1) << j.astype(jnp.uint32),
                              jnp.uint32(0)), axis=1, dtype=jnp.uint32)
-    # huge rects (> tmax candidate positions): no culling, first tmax tiles bin
-    full = jnp.where(prep.visible, _low_bits(jnp.minimum(rect[:, 0], tmax)),
-                     jnp.uint32(0))
+    # huge rects (> tmax candidate positions): no per-tile culling, first tmax tiles
+    # bin — unless lam < 0 (opacity below ALPHA_EPS: alpha <= opa < eps EVERYWHERE,
+    # since Q >= 0), which culls the Gaussian outright
+    any_alpha = (jnp.asarray(lam) >= 0.0)
+    if any_alpha.ndim:
+        any_alpha = any_alpha[:, 0]
+    full = jnp.where(prep.visible & any_alpha,
+                     _low_bits(jnp.minimum(rect[:, 0], tmax)), jnp.uint32(0))
     return jnp.where(rect[:, 0] > tmax, full, bits)
 
 

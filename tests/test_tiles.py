@@ -183,3 +183,31 @@ def test_culled_binning_exact():
                                np.asarray(dense["render"]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(tiled["final_transmittance"]),
                                np.asarray(dense["final_transmittance"]), atol=2e-5)
+
+
+def test_cull_huge_rect_fallback_and_zero_opacity():
+    """Rects larger than tmax candidate positions fall back to no-culling (first
+    tmax tiles bin, tail reported dropped); near-zero opacities cull everything."""
+    import jax.numpy as jnp
+    from langsplat_tpu.ops.tiles import instance_counts, tile_pass_mask
+
+    cam = make_camera(w=64, h=64)
+    # one huge gaussian covering the whole 4x4 grid
+    means = np.array([[0.0, 0.0, 4.0]], np.float32)
+    scales = np.full((1, 3), 3.0, np.float32)
+    quats = np.array([[1.0, 0, 0, 0]], np.float32)
+    colors = np.ones((1, 3), np.float32)
+    prep = run_preprocess(means, scales, quats, colors, cam, tile_size=16)
+    w = int(prep.tiles_max[0, 0] - prep.tiles_min[0, 0])
+    h = int(prep.tiles_max[0, 1] - prep.tiles_min[0, 1])
+    assert w * h > 8  # rect bigger than the tmax below
+    cnt = instance_counts(prep, tile_size=16, tmax=8)
+    assert int(cnt[0]) == 8  # fallback: first tmax positions, no culling
+
+    # opacity ~0 culls every tile
+    cnt0 = instance_counts(prep, tile_size=16, tmax=8,
+                           opacities=jnp.asarray(np.array([1e-9], np.float32)))
+    assert int(cnt0[0]) == 0
+    mask0 = tile_pass_mask(prep, tile_size=16, tmax=8,
+                           opacities=jnp.asarray(np.array([1e-9], np.float32)))
+    assert int(mask0[0]) == 0
