@@ -48,6 +48,14 @@ from langsplat_tpu.ops.tiles import InstanceBuffer
 ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC, ROW_OPA, ROW_R, ROW_G, ROW_B = range(9)
 D_BASE = 9
 
+# MXU precision for every in-kernel matmul. Mosaic supports only DEFAULT and
+# HIGHEST inside Pallas kernels; HIGHEST keeps the blend image and gradients
+# f32-faithful (the accumulation/gradient matmuls previously ran at DEFAULT —
+# single-pass bf16 on real TPU, ~1e-3 relative; CPU interpret tests never saw
+# that error because CPU ignores precision). Measured cost of HIGHEST vs the
+# old mixed setting: see scripts/micro_precision.py.
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -272,7 +280,7 @@ def _triu_ones(c: int) -> jnp.ndarray:
 def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=MM_PRECISION,
         preferred_element_type=jnp.float32)
 
 
@@ -468,6 +476,7 @@ def _fwd_kernel(spec: BlendSpec,
                     out_ref[u, :, 0:ncol] += jax.lax.dot_general(
                         w, data[ROW_R:ROW_R + ncol, :],
                         dimension_numbers=(((1,), (1,)), ((), ())),
+                        precision=MM_PRECISION,
                         preferred_element_type=jnp.float32)
                     t_ref[u, :, :] = t_new
                     done_ref[u, :, :] = jnp.where(done_new, 1.0, 0.0)
@@ -598,6 +607,7 @@ def _bwd_kernel(spec: BlendSpec,
         gdot = jax.lax.dot_general(
             g_blend_l[u], data[ROW_R:ROW_R + ncol, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=MM_PRECISION,
             preferred_element_type=jnp.float32)                # [P, C]
         contrib = w * gdot
         prefix_incl = prefix + _cumsum_lanes(contrib)
@@ -620,7 +630,7 @@ def _bwd_kernel(spec: BlendSpec,
         mom = jax.lax.dot_general(
             pbasis_l[u], dpower,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MM_PRECISION,
             preferred_element_type=jnp.float32)                # [8, C]
         m0 = mom[0:1, :]
         m_x = mom[1:2, :]
@@ -645,6 +655,7 @@ def _bwd_kernel(spec: BlendSpec,
         d_attr = jax.lax.dot_general(
             g_blend_l[u], w,
             dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=MM_PRECISION,
             preferred_element_type=jnp.float32)                # [ncol, C]
 
         # reclaim dchunk_buf[u, slot]: the write issued for chunk k-2 used this slot
