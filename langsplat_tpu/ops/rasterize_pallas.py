@@ -77,6 +77,11 @@ class BlendSpec(NamedTuple):
                            # partial chunk masks out-of-range lanes in-kernel, so
                            # alignment padding stays at one lane-tile per tile
                            # instead of one full fwd chunk)
+    grad_mode: str = "full"  # "full" | "feature": the feature training phase
+                           # (3 of the reference's 4 phases) only needs
+                           # d(language_feature) — the backward then skips the
+                           # dalpha/moment machinery and reduces only the
+                           # feature rows
 
     @property
     def fwd_chunk(self) -> int:
@@ -109,7 +114,8 @@ class BlendSpec(NamedTuple):
 
 def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chunk: int,
                     num_feat: int, budget: int, interpret: bool = False,
-                    fwd_mult: int = 2, align: int | None = None) -> BlendSpec:
+                    fwd_mult: int = 2, align: int | None = None,
+                    grad_mode: str = "full") -> BlendSpec:
     if chunk <= 0:
         raise ValueError(f"chunk must be positive, got {chunk}")
     if chunk % 128 != 0 and not interpret:
@@ -133,13 +139,17 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
     aligned = (_round_up(budget + gx * gy * (align - 1), align)
                + max(chunk, chunk * fwd_mult) - align)
     aligned = _round_up(aligned, align)
+    if grad_mode not in ("full", "feature"):
+        raise ValueError(f"grad_mode must be 'full' or 'feature', got {grad_mode}")
+    if grad_mode == "feature" and num_feat == 0:
+        raise ValueError("grad_mode='feature' requires language feature channels")
     return BlendSpec(grid_x=gx, grid_y=gy, tile_size=tile_size, chunk=chunk,
                      num_feat=num_feat, aligned_budget=aligned, fwd_mult=fwd_mult,
-                     align=align)
+                     align=align, grad_mode=grad_mode)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_attrs(budget: int, attrs, gid, poa, gauss_offsets):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_attrs(budget: int, grad_rows: tuple, attrs, gid, poa, gauss_offsets):
     """attrs [rows, N+1] -> packed [rows, aligned_budget] by column gather.
 
     `poa` [aligned] maps each aligned slot to its pre-sort (gaussian-major) slot
@@ -154,34 +164,42 @@ def _gather_attrs(budget: int, attrs, gid, poa, gauss_offsets):
     one boundary gather + adjacent diff — deterministic and ~4x cheaper than the
     scatter formulation.
     """
-    del budget, poa, gauss_offsets
+    del budget, grad_rows, poa, gauss_offsets
     return attrs[:, gid]
 
 
-def _gather_attrs_fwd(budget, attrs, gid, poa, gauss_offsets):
+def _gather_attrs_fwd(budget, grad_rows, attrs, gid, poa, gauss_offsets):
     return attrs[:, gid], (poa, gauss_offsets, attrs.shape)
 
 
-def _gather_attrs_bwd(budget, res, g):
+def _gather_attrs_bwd(budget, grad_rows, res, g):
     import numpy as _np
     poa, gauss_offsets, attrs_shape = res
     rows, n1 = attrs_shape
+    r0, rn = grad_rows            # static: only these cotangent rows are nonzero
     # permute-by-sort: real instances carry keys 0..total-1; zero-opacity padding
     # instances carry key=budget and alignment holes key=aligned, so positions
     # [total, budget) of the sorted result hold only all-zero gradient columns
     # (padding gradients vanish identically in the blend backward)
     sorted_out = jax.lax.sort(
-        (poa,) + tuple(g[i] for i in range(rows)), num_keys=1, is_stable=False)
-    d_pre = jnp.stack(sorted_out[1:], axis=0)[:, :budget]  # [rows, budget] presort
-    csum = jnp.concatenate([jnp.zeros((rows, 1), g.dtype),
+        (poa,) + tuple(g[i] for i in range(r0, r0 + rn)),
+        num_keys=1, is_stable=False)
+    d_pre = jnp.stack(sorted_out[1:], axis=0)[:, :budget]  # [rn, budget] presort
+    csum = jnp.concatenate([jnp.zeros((rn, 1), g.dtype),
                             jnp.cumsum(d_pre, axis=1)], axis=1)
     ends = jnp.clip(gauss_offsets, 0, budget)
     # ONE boundary gather (N+1 indices), then adjacent-column diff: gathers cost
     # ~20 ns per index on v5e regardless of layout, so gathering ends[1:] and
     # ends[:-1] separately (2N indices) doubles the dominant cost for no reason
-    c_at = csum[:, ends]                                   # [rows, N + 1]
-    seg = c_at[:, 1:] - c_at[:, :-1]                       # [rows, N]
-    d_attrs = jnp.concatenate([seg, jnp.zeros((rows, 1), g.dtype)], axis=1)
+    c_at = csum[:, ends]                                   # [rn, N + 1]
+    seg = c_at[:, 1:] - c_at[:, :-1]                       # [rn, N]
+    seg = jnp.concatenate([seg, jnp.zeros((rn, 1), g.dtype)], axis=1)
+    if (r0, rn) == (0, rows):
+        d_attrs = seg
+    else:
+        d_attrs = jnp.concatenate(
+            [jnp.zeros((r0, n1), g.dtype), seg,
+             jnp.zeros((rows - r0 - rn, n1), g.dtype)], axis=0)
     f0 = jax.dtypes.float0
     zero_gid = _np.zeros((g.shape[1],), f0)
     zero_poa = _np.zeros((g.shape[1],), f0)
@@ -244,7 +262,9 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
     attrs = jnp.stack(rows, axis=0)  # [d, n]
     d = attrs.shape[0]
     attrs = jnp.concatenate([attrs, jnp.zeros((d, 1), attrs.dtype)], axis=1)
-    packed = _gather_attrs(budget, attrs,
+    grad_rows = ((D_BASE, spec.num_feat) if spec.grad_mode == "feature"
+                 else (0, d))
+    packed = _gather_attrs(budget, grad_rows, attrs,
                            jax.lax.stop_gradient(gid),
                            jax.lax.stop_gradient(poa),
                            jax.lax.stop_gradient(inst.gauss_offsets))
@@ -603,6 +623,33 @@ def _bwd_kernel(spec: BlendSpec,
         done = done_ref[u, :, :] > 0.0
         eff, w, t_excl, t_new, done_new = _blend_state(alpha, t_carry, done)
 
+        if spec.grad_mode == "feature":
+            # feature phase: only d(language_feature) is needed — the geometric
+            # chain (gdot/suffix/dalpha/moments) is skipped entirely; w is the
+            # only residual the feature gradient uses
+            nf = spec.num_feat
+            d_feat = jax.lax.dot_general(
+                gout_ref[u, :, 3:3 + nf], w,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=MM_PRECISION,
+                preferred_element_type=jnp.float32)            # [nf, C]
+
+            @pl.when(k >= 2)
+            def _():
+                out_copy(u, k - 2, slot).wait()
+
+            dchunk_buf[u, slot, 0:D_BASE, :] = jnp.zeros(
+                (D_BASE, spec.chunk), f32)
+            dchunk_buf[u, slot, D_BASE:D_BASE + nf, :] = d_feat
+            if spec.rows > D_BASE + nf:
+                dchunk_buf[u, slot, D_BASE + nf:, :] = jnp.zeros(
+                    (spec.rows - D_BASE - nf, spec.chunk), f32)
+            out_copy(u, k, slot).start()
+            wcount_ref[u] = k + 1
+            t_ref[u, :, :] = t_new
+            done_ref[u, :, :] = jnp.where(done_new, 1.0, 0.0)
+            return
+
         # gdot[p, i] = sum_ch g_ch[p] * attr_ch[i]
         gdot = jax.lax.dot_general(
             g_blend_l[u], data[ROW_R:ROW_R + ncol, :],
@@ -875,13 +922,14 @@ def rasterize_pallas(
     means2d_override: jnp.ndarray | None = None,
     fwd_mult: int = 2,
     align: int | None = None,
+    grad_mode: str = "full",
 ) -> dict:
     """Full Pallas rasterization: pack -> blend -> assemble. Differentiable."""
     num_feat = 0 if features is None else features.shape[1]
     spec = make_blend_spec(image_height=image_height, image_width=image_width,
                            tile_size=tile_size, chunk=chunk, num_feat=num_feat,
                            budget=inst.gauss_id.shape[0], interpret=interpret,
-                           fwd_mult=fwd_mult, align=align)
+                           fwd_mult=fwd_mult, align=align, grad_mode=grad_mode)
     packed, p_off = pack_instances(prep, opacities, features, inst, spec,
                                    means2d_override=means2d_override)
     counts = inst.tile_start[1:] - inst.tile_start[:-1]

@@ -42,6 +42,9 @@ class RenderSettings:
     backend: str = "pallas"  # "pallas" | "tiled" | (tiled needs max_per_tile)
     max_per_tile: int = 1024
     interpret: bool = False
+    grad_mode: str = "full"  # "feature": backward computes only the language-
+                             # feature gradients (the feature training phase
+                             # freezes geometry; 3 of the reference's 4 phases)
 
     @property
     def grid_x(self) -> int:
@@ -117,7 +120,8 @@ def render(
             prep, inst, opac, features, bg_color,
             image_height=settings.image_height, image_width=settings.image_width,
             tile_size=settings.tile_size, chunk=settings.chunk,
-            interpret=settings.interpret, means2d_override=means2d)
+            interpret=settings.interpret, means2d_override=means2d,
+            grad_mode=settings.grad_mode)
 
     out["radii"] = prep.radii
     out["visibility_filter"] = prep.radii > 0

@@ -51,7 +51,11 @@ def make_settings(cam, pipe, active_sh_degree: int, include_feature: bool,
         budget=budget or pipe.budget_factor * capacity,
         max_tiles_per_gaussian=pipe.max_tiles_per_gaussian,
         backend="tiled" if pipe.interpret else "pallas",
-        interpret=pipe.interpret)
+        interpret=pipe.interpret,
+        # the feature phase freezes geometry (reference train.py:96-99): the
+        # backward then only needs d(language_feature), which skips the whole
+        # geometric gradient chain in the blend kernel
+        grad_mode="feature" if include_feature else "full")
 
 
 class BudgetPolicy:

@@ -179,3 +179,37 @@ def test_pallas_odd_tile_count():
                                np.asarray(dense["render"]), atol=3e-5)
     np.testing.assert_allclose(np.asarray(pall["final_transmittance"]),
                                np.asarray(dense["final_transmittance"]), atol=3e-5)
+
+
+def test_feature_grad_mode_matches_full():
+    """grad_mode='feature' skips the geometric gradient chain; for a loss that only
+    touches the language-feature image, d(features) must match the full backward
+    and the geometric gradients are exactly zero by construction."""
+    w = h = 32
+    ts = 16
+    cam = make_camera(w=w, h=h)
+    means, scales, quats, colors, opac, feats = random_scene(40, seed=17, spread=1.0)
+    ftarget = np.random.default_rng(3).uniform(size=(3, h, w)).astype(np.float32)
+    bg = jnp.zeros(3)
+
+    def loss(mode):
+        def f(feats_):
+            prep = projection.preprocess(
+                jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), None,
+                cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+                image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+                tanfovy=cam["tanfovy"], sh_degree=0, tile_size=ts,
+                colors_precomp=jnp.asarray(colors))
+            inst = bin_gaussians(prep, grid_x=2, grid_y=2, budget=2048,
+                                 max_tiles_per_gaussian=16)
+            out = rasterize_pallas(prep, inst, jnp.asarray(opac), feats_, bg,
+                                   image_height=h, image_width=w, tile_size=ts,
+                                   chunk=32, interpret=True, grad_mode=mode)
+            return jnp.mean((out["language_feature_image"] - ftarget) ** 2)
+        return f
+
+    fa = jnp.asarray(feats)
+    lf, gf = jax.value_and_grad(loss("full"))(fa)
+    lm, gm = jax.value_and_grad(loss("feature"))(fa)
+    np.testing.assert_allclose(float(lm), float(lf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gf), atol=1e-6)
