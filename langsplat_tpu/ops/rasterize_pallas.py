@@ -82,6 +82,13 @@ class BlendSpec(NamedTuple):
                            # d(language_feature) — the backward then skips the
                            # dalpha/moment machinery and reduces only the
                            # feature rows
+    grad_precision: str = "exact"  # "exact" | "bf16": bf16 runs every backward-
+                           # kernel matmul at DEFAULT (single-pass bf16) — the
+                           # rendered image stays exact, gradients pick up
+                           # ~3-6e-3 relative error (micro_precision.py).
+                           # Measured NO speedup on v5e (the bwd kernel is
+                           # latency-bound, not MXU-throughput-bound) — kept as
+                           # an opt-in for other TPU generations.
 
     @property
     def fwd_chunk(self) -> int:
@@ -115,7 +122,8 @@ class BlendSpec(NamedTuple):
 def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chunk: int,
                     num_feat: int, budget: int, interpret: bool = False,
                     fwd_mult: int = 2, align: int | None = None,
-                    grad_mode: str = "full") -> BlendSpec:
+                    grad_mode: str = "full",
+                    grad_precision: str = "exact") -> BlendSpec:
     if chunk <= 0:
         raise ValueError(f"chunk must be positive, got {chunk}")
     if chunk % 128 != 0 and not interpret:
@@ -141,11 +149,15 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
     aligned = _round_up(aligned, align)
     if grad_mode not in ("full", "feature"):
         raise ValueError(f"grad_mode must be 'full' or 'feature', got {grad_mode}")
+    if grad_precision not in ("exact", "bf16"):
+        raise ValueError(f"grad_precision must be 'exact' or 'bf16', "
+                         f"got {grad_precision}")
     if grad_mode == "feature" and num_feat == 0:
         raise ValueError("grad_mode='feature' requires language feature channels")
     return BlendSpec(grid_x=gx, grid_y=gy, tile_size=tile_size, chunk=chunk,
                      num_feat=num_feat, aligned_budget=aligned, fwd_mult=fwd_mult,
-                     align=align, grad_mode=grad_mode)
+                     align=align, grad_mode=grad_mode,
+                     grad_precision=grad_precision)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -297,14 +309,14 @@ def _triu_ones(c: int) -> jnp.ndarray:
     return jnp.where(row <= col, 1.0, 0.0).astype(jnp.float32)
 
 
-def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _mm(a: jnp.ndarray, b: jnp.ndarray, precision=None) -> jnp.ndarray:
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=MM_PRECISION,
+        precision=MM_PRECISION if precision is None else precision,
         preferred_element_type=jnp.float32)
 
 
-def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
+def _cumsum_lanes(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Inclusive cumulative sum along the lane axis on the MXU.
 
     A dense [P, C] x [C, C] triangular contraction costs FLOPs linear in C per
@@ -321,26 +333,26 @@ def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
     # the 128 MXU tile and adds issue latency, which swamps the FLOP savings at
     # C=256 (measured on v5e: bwd chunk bodies are latency-sensitive)
     if c < 512 or c % blk != 0:
-        return _mm(x, _triu_ones(c))
+        return _mm(x, _triu_ones(c), precision)
     nb = c // blk
     tri = _triu_ones(blk)
-    y = jnp.concatenate([_mm(x[:, i * blk:(i + 1) * blk], tri) for i in range(nb)],
-                        axis=1)
+    y = jnp.concatenate([_mm(x[:, i * blk:(i + 1) * blk], tri, precision)
+                         for i in range(nb)], axis=1)
     col_blk = jax.lax.broadcasted_iota(jnp.int32, (c, nb), 0) // blk
     blk_id = jax.lax.broadcasted_iota(jnp.int32, (c, nb), 1)
     ind = jnp.where(col_blk == blk_id, 1.0, 0.0).astype(jnp.float32)   # [c, nb]
-    tot = _mm(x, ind)                                                  # [P, nb]
+    tot = _mm(x, ind, precision)                                       # [P, nb]
     row_b = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     col_b = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     strict = jnp.where(row_b < col_b, 1.0, 0.0).astype(jnp.float32)
-    tot_ex = _mm(tot, strict)                                          # exclusive
+    tot_ex = _mm(tot, strict, precision)                               # exclusive
     blk_row = jax.lax.broadcasted_iota(jnp.int32, (nb, c), 0)
     col_blk2 = jax.lax.broadcasted_iota(jnp.int32, (nb, c), 1) // blk
     expand = jnp.where(blk_row == col_blk2, 1.0, 0.0).astype(jnp.float32)  # [nb, c]
-    return y + _mm(tot_ex, expand)
+    return y + _mm(tot_ex, expand, precision)
 
 
-def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+def _cumprod_lanes(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Inclusive cumulative product along the lane axis via exp(cumsum(log)).
 
     x here is 1-alpha in [1 - ALPHA_MAX, 1], so log is well-conditioned; masked
@@ -348,7 +360,7 @@ def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
     which the TERM_EPS termination masks anyway. Two transcendental passes + one
     MXU matmul instead of ~28 VPU passes (7 steps x roll+iota+select+multiply).
     """
-    return jnp.exp(_cumsum_lanes(jnp.log(x)))
+    return jnp.exp(_cumsum_lanes(jnp.log(x), precision))
 
 
 def _chunk_alpha(data: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
@@ -373,7 +385,7 @@ def _chunk_alpha(data: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     return alpha, gexp, dx, dy, keep
 
 
-def _blend_state(alpha, t_carry, done):
+def _blend_state(alpha, t_carry, done, precision=None):
     """Shared forward blend bookkeeping for one chunk.
 
     Returns (eff, w, t_excl, t_new, done_new): effective alphas after the CUDA
@@ -388,7 +400,7 @@ def _blend_state(alpha, t_carry, done):
     One cumprod + a min-reduce + a shift instead of two cumprods (saves ~7
     roll-multiply [pixels, chunk] passes per chunk in both fwd and bwd kernels).
     """
-    t_incl = t_carry * _cumprod_lanes(1.0 - alpha)
+    t_incl = t_carry * _cumprod_lanes(1.0 - alpha, precision)
     included = (t_incl >= TERM_EPS) & jnp.logical_not(done)
     eff = jnp.where(included, alpha, 0.0)
     floor = jnp.min(jnp.where(included, t_incl, t_carry), axis=1, keepdims=True)
@@ -609,6 +621,9 @@ def _bwd_kernel(spec: BlendSpec,
         flag_ref[u] = jnp.where(nchunk_l[u] > 0, 1, 0)
         wcount_ref[u] = 0
 
+    gprec = (jax.lax.Precision.DEFAULT if spec.grad_precision == "bf16"
+             else MM_PRECISION)
+
     def _bwd_chunk(u, k, slot):
         data = chunk_buf[u, slot]
         alpha, gexp, dx, dy, keep = _chunk_alpha(data, px_l[u], py_l[u])
@@ -621,7 +636,8 @@ def _bwd_kernel(spec: BlendSpec,
         prefix = prefix_ref[u, :, :]
         t_carry = t_ref[u, :, :]
         done = done_ref[u, :, :] > 0.0
-        eff, w, t_excl, t_new, done_new = _blend_state(alpha, t_carry, done)
+        eff, w, t_excl, t_new, done_new = _blend_state(alpha, t_carry, done,
+                                                        precision=gprec)
 
         if spec.grad_mode == "feature":
             # feature phase: only d(language_feature) is needed — the geometric
@@ -631,7 +647,7 @@ def _bwd_kernel(spec: BlendSpec,
             d_feat = jax.lax.dot_general(
                 gout_ref[u, :, 3:3 + nf], w,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=MM_PRECISION,
+                precision=gprec,
                 preferred_element_type=jnp.float32)            # [nf, C]
 
             @pl.when(k >= 2)
@@ -654,10 +670,10 @@ def _bwd_kernel(spec: BlendSpec,
         gdot = jax.lax.dot_general(
             g_blend_l[u], data[ROW_R:ROW_R + ncol, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=MM_PRECISION,
+            precision=gprec,
             preferred_element_type=jnp.float32)                # [P, C]
         contrib = w * gdot
-        prefix_incl = prefix + _cumsum_lanes(contrib)
+        prefix_incl = prefix + _cumsum_lanes(contrib, precision=gprec)
         suffix = total_l[u] - prefix_incl
         live = (eff > 0.0) & keep
         dalpha = jnp.where(
@@ -677,7 +693,7 @@ def _bwd_kernel(spec: BlendSpec,
         mom = jax.lax.dot_general(
             pbasis_l[u], dpower,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=MM_PRECISION,
+            precision=gprec,
             preferred_element_type=jnp.float32)                # [8, C]
         m0 = mom[0:1, :]
         m_x = mom[1:2, :]
@@ -702,7 +718,7 @@ def _bwd_kernel(spec: BlendSpec,
         d_attr = jax.lax.dot_general(
             g_blend_l[u], w,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=MM_PRECISION,
+            precision=gprec,
             preferred_element_type=jnp.float32)                # [ncol, C]
 
         # reclaim dchunk_buf[u, slot]: the write issued for chunk k-2 used this slot
@@ -923,13 +939,15 @@ def rasterize_pallas(
     fwd_mult: int = 2,
     align: int | None = None,
     grad_mode: str = "full",
+    grad_precision: str = "exact",
 ) -> dict:
     """Full Pallas rasterization: pack -> blend -> assemble. Differentiable."""
     num_feat = 0 if features is None else features.shape[1]
     spec = make_blend_spec(image_height=image_height, image_width=image_width,
                            tile_size=tile_size, chunk=chunk, num_feat=num_feat,
                            budget=inst.gauss_id.shape[0], interpret=interpret,
-                           fwd_mult=fwd_mult, align=align, grad_mode=grad_mode)
+                           fwd_mult=fwd_mult, align=align, grad_mode=grad_mode,
+                           grad_precision=grad_precision)
     packed, p_off = pack_instances(prep, opacities, features, inst, spec,
                                    means2d_override=means2d_override)
     counts = inst.tile_start[1:] - inst.tile_start[:-1]

@@ -45,6 +45,10 @@ class RenderSettings:
     grad_mode: str = "full"  # "feature": backward computes only the language-
                              # feature gradients (the feature training phase
                              # freezes geometry; 3 of the reference's 4 phases)
+    grad_precision: str = "exact"  # "bf16": single-pass bf16 backward matmuls
+                             # (image exact, gradients ~0.5% error); no measured
+                             # gain on v5e (bwd is latency-bound) — opt-in knob
+                             # for other TPU generations
 
     @property
     def grid_x(self) -> int:
@@ -121,7 +125,8 @@ def render(
             image_height=settings.image_height, image_width=settings.image_width,
             tile_size=settings.tile_size, chunk=settings.chunk,
             interpret=settings.interpret, means2d_override=means2d,
-            grad_mode=settings.grad_mode)
+            grad_mode=settings.grad_mode,
+            grad_precision=settings.grad_precision)
 
     out["radii"] = prep.radii
     out["visibility_filter"] = prep.radii > 0

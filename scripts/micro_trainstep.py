@@ -60,7 +60,8 @@ def main():
 
     settings = RenderSettings(image_height=h, image_width=w, tanfovx=tanf,
                               tanfovy=tanf, sh_degree=3, include_feature=False,
-                              tile_size=16, chunk=128, budget=1_900_544)
+                              tile_size=16, chunk=128, budget=1_900_544,
+                              grad_precision=os.environ.get("MT_GPREC", "exact"))
     cfg = OptimizationConfig()
     opt = trainer.make_optimizer(cfg, spatial_lr_scale=3.0, include_feature=False)
     params = trainer.extract_params(field, include_feature=False)

@@ -213,3 +213,36 @@ def test_feature_grad_mode_matches_full():
     lm, gm = jax.value_and_grad(loss("feature"))(fa)
     np.testing.assert_allclose(float(lm), float(lf), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gm), np.asarray(gf), atol=1e-6)
+
+
+def test_grad_precision_bf16_plumbing():
+    """grad_precision='bf16' must change nothing on the CPU interpret path (CPU
+    ignores matmul precision) — validates the plumbing; the actual numeric trade
+    is measured on-device in scripts/micro_precision.py."""
+    w = h = 32
+    ts = 16
+    cam = make_camera(w=w, h=h)
+    means, scales, quats, colors, opac, feats = random_scene(30, seed=19, spread=1.0)
+    bg = jnp.zeros(3)
+
+    def loss(gp):
+        def f(o):
+            prep = projection.preprocess(
+                jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), None,
+                cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+                image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+                tanfovy=cam["tanfovy"], sh_degree=0, tile_size=ts,
+                colors_precomp=jnp.asarray(colors))
+            inst = bin_gaussians(prep, grid_x=2, grid_y=2, budget=2048,
+                                 max_tiles_per_gaussian=16)
+            out = rasterize_pallas(prep, inst, o, jnp.asarray(feats), bg,
+                                   image_height=h, image_width=w, tile_size=ts,
+                                   chunk=32, interpret=True, grad_precision=gp)
+            return jnp.mean(out["render"] ** 2)
+        return f
+
+    oa = jnp.asarray(opac)
+    le, ge = jax.value_and_grad(loss("exact"))(oa)
+    lb, gb = jax.value_and_grad(loss("bf16"))(oa)
+    np.testing.assert_allclose(float(lb), float(le), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ge), atol=1e-7)
