@@ -71,6 +71,7 @@ def main():
     steps = int(os.environ.get("PROF_STEPS", 5))
     ts = int(os.environ.get("PROF_TS", 16))
     chunk = int(os.environ.get("PROF_CHUNK", 128))
+    fwd_mult = int(os.environ.get("PROF_FWD_MULT", 2))
     budget_factor = os.environ.get("PROF_BUDGET_FACTOR")  # None => adaptive like bench
     budget = int(float(budget_factor) * n) if budget_factor else None
     fov = 0.9
@@ -108,7 +109,7 @@ def main():
         budget = -(-int(measured * 1.1) // 4096) * 4096
 
     spec = make_blend_spec(image_height=h, image_width=w, tile_size=ts, chunk=chunk,
-                           num_feat=3, budget=budget)
+                           num_feat=3, budget=budget, fwd_mult=fwd_mult)
 
     @jax.jit
     def stage_prep(m, s, q, c):
