@@ -20,21 +20,15 @@ from langsplat_tpu.config import load_config
 
 def render_set(model_path, name, iteration, cams, field, pipe, sh_degree,
                include_feature, bg, lf_path, feature_level):
-    import jax.numpy as jnp
     from PIL import Image
-    from langsplat_tpu.train.loop import make_settings
-    from langsplat_tpu.ops.render import render
+    from langsplat_tpu.train.loop import render_full
 
     base = os.path.join(model_path, name, f"ours_{iteration}")
     for sub in ("renders", "gt", "renders_npy", "gt_npy"):
         os.makedirs(os.path.join(base, sub), exist_ok=True)
 
     for idx, cam in enumerate(cams):
-        settings = make_settings(cam, pipe, sh_degree, include_feature,
-                                 field.capacity)
-        out = render(field, settings, jnp.asarray(cam.world_view_transform),
-                     jnp.asarray(cam.full_proj_transform),
-                     jnp.asarray(cam.camera_center), bg)
+        out = render_full(field, cam, pipe, sh_degree, include_feature, bg)
         if include_feature:
             rendering = np.asarray(out["language_feature_image"])
             gt = cam.get_language_feature(lf_path, feature_level)[0] \
@@ -83,8 +77,7 @@ def main(argv=None):
 
     ck = os.path.join(cfg.model.model_path, f"chkpnt{iteration}.npz")
     if args.include_feature and os.path.exists(ck):
-        from langsplat_tpu.train.loop import _restore_field_only
-        field, _, _, _ = _restore_field_only(ck, field.with_language_feature(3))
+        field, _, _, _, _ = field_io.load_field(ck, field.with_language_feature(3))
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background else [0., 0., 0.])
     sh_degree = cfg.model.sh_degree

@@ -45,6 +45,9 @@ class PipelineConfig:
     adaptive_budget: bool = True       # size the budget from measured instance counts
     budget_headroom: float = 1.3       # measured count -> budget multiplier
     max_tiles_per_gaussian: int = 32
+    allow_budget_truncation: bool = False  # opt-in: proceed (with a warning) when
+                                           # the instance budget cap is hit instead
+                                           # of failing loudly
     interpret: bool = False            # Pallas interpret mode (CPU testing)
 
 

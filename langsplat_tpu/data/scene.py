@@ -22,7 +22,8 @@ from langsplat_tpu.models.gaussian_field import GaussianField, create_from_pcd
 class Scene:
     def __init__(self, cfg: ModelConfig, *, load_iteration: int | None = None,
                  shuffle: bool = True, resolution_scales=(1.0,),
-                 capacity: int | None = None, initial_capacity_factor: float = 1.5):
+                 capacity: int | None = None, initial_capacity_factor: float = 1.5,
+                 seed: int = 0):
         self.cfg = cfg
         self.model_path = cfg.model_path
         self.loaded_iter = None
@@ -54,8 +55,12 @@ class Scene:
                 json.dump(cam_json, f)
 
         if shuffle:
-            random.shuffle(info.train_cameras)
-            random.shuffle(info.test_cameras)
+            # seeded (not global-state) shuffle so checkpoint resume in a fresh
+            # process reproduces the exact camera order (reference safe_state
+            # seeds the global RNG once per process instead)
+            shuffler = random.Random(seed)
+            shuffler.shuffle(info.train_cameras)
+            shuffler.shuffle(info.test_cameras)
 
         self.cameras_extent = info.nerf_normalization["radius"]
 

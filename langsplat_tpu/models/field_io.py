@@ -95,26 +95,64 @@ def load_ply(path: str, *, capacity: int | None = None) -> GaussianField:
 
 def save_checkpoint(path: str, field: GaussianField, opt_state, stats, step: int,
                     spatial_lr_scale: float, active_sh_degree: int) -> None:
+    """Full training-state checkpoint: one self-describing npz holding three
+    independently-restorable leaf groups (field / optimizer / densify stats) plus
+    scalar metadata — the TPU equivalent of the reference's pickled capture()
+    12/13-tuples (`/root/reference/scene/gaussian_model.py:63-92`,
+    `train.py:140-142`). Grouped leaves let a phase handoff restore the field
+    without knowing the other phase's optimizer treedef."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat: dict[str, np.ndarray] = {}
-    leaves, treedef = jax.tree.flatten((field, opt_state, stats))
-    for i, leaf in enumerate(leaves):
-        flat[f"leaf_{i}"] = np.asarray(leaf)
+    for group, tree in (("field", field), ("opt", opt_state), ("stats", stats)):
+        for i, leaf in enumerate(jax.tree.flatten(tree)[0]):
+            flat[f"{group}_{i}"] = np.asarray(leaf)
     flat["__step"] = np.int64(step)
     flat["__spatial_lr_scale"] = np.float64(spatial_lr_scale)
     flat["__active_sh_degree"] = np.int64(active_sh_degree)
+    flat["__has_feature"] = np.bool_(field.language_feature is not None)
     np.savez(path, **flat)
+
+
+def _unflatten_group(data, group: str, template):
+    _, treedef = jax.tree.flatten(template)
+    leaves = [jnp.asarray(data[f"{group}_{i}"]) for i in range(treedef.num_leaves)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def checkpoint_has_state(path: str) -> bool:
+    """True if the npz carries optimizer + stats groups (full resume possible)."""
+    with np.load(path, allow_pickle=False) as data:
+        return any(k.startswith("opt_") for k in data.files)
+
+
+def load_field(path: str, template: GaussianField):
+    """Restore only the field group (+ scalars) — used by the render CLI and by
+    phase handoff, where the saved optimizer belongs to the other phase. The
+    template adapts to the checkpoint's feature-phase flag; restored capacity is
+    whatever the checkpoint holds (treedefs carry no shapes). Returns
+    (field, step, spatial_lr_scale, active_sh_degree, has_feature)."""
+    from dataclasses import replace as dc_replace
+    data = np.load(path, allow_pickle=False)
+    has_feature = bool(data["__has_feature"]) if "__has_feature" in data else False
+    tmpl = template
+    if has_feature and tmpl.language_feature is None:
+        tmpl = tmpl.with_language_feature(3)
+    elif not has_feature and tmpl.language_feature is not None:
+        tmpl = dc_replace(tmpl, language_feature=None)
+    field = _unflatten_group(data, "field", tmpl)
+    return (field, int(data["__step"]), float(data["__spatial_lr_scale"]),
+            int(data["__active_sh_degree"]), has_feature)
 
 
 def load_checkpoint(path: str, field_template: GaussianField, opt_state_template,
                     stats_template):
-    """Restore into templates with matching treedef. Returns
+    """Restore the full training state (same-phase resume). Templates only fix
+    treedefs — capacity comes from the stored leaves, so a checkpoint written at
+    any capacity restores into a template built at any other. Returns
     (field, opt_state, stats, step, spatial_lr_scale, active_sh_degree)."""
     data = np.load(path, allow_pickle=False)
-    _, treedef = jax.tree.flatten((field_template, opt_state_template,
-                                   stats_template))
-    n_leaves = treedef.num_leaves
-    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
-    field, opt_state, stats = jax.tree.unflatten(treedef, leaves)
+    field = _unflatten_group(data, "field", field_template)
+    opt_state = _unflatten_group(data, "opt", opt_state_template)
+    stats = _unflatten_group(data, "stats", stats_template)
     return (field, opt_state, stats, int(data["__step"]),
             float(data["__spatial_lr_scale"]), int(data["__active_sh_degree"]))

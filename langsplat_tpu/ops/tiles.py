@@ -128,8 +128,10 @@ def tile_pass_mask(prep: PreprocessOut, *, tile_size: int, tmax: int,
     # inits, post-opacity-reset phases) cull far more tiles, still exactly
     lam = -math.log(ALPHA_EPS)
     if opacities is not None:
-        lam = lam + jnp.minimum(jnp.log(jnp.maximum(opacities, 1e-12)),
-                                0.0)[:, None]
+        # exact for any opa > 0: alpha = opa*exp(-Q) < ALPHA_EPS iff
+        # Q > log(opa / ALPHA_EPS); no clamp — unactivated opacities > 1
+        # simply widen the threshold instead of silently over-culling
+        lam = lam + jnp.log(jnp.maximum(opacities, 1e-12))[:, None]
     ts = float(tile_size)
     minx = prep.tiles_min[:, 0:1].astype(jnp.float32)        # [N, 1]
     miny = prep.tiles_min[:, 1:2].astype(jnp.float32)
@@ -187,7 +189,11 @@ def instance_counts(prep: PreprocessOut, *, tile_size: int | None, tmax: int,
     w = prep.tiles_max[:, 0] - prep.tiles_min[:, 0]
     h = prep.tiles_max[:, 1] - prep.tiles_min[:, 1]
     full_count = jnp.where(prep.visible, w * h, 0)
-    if cull and tile_size is not None:
+    # mirror bin_gaussians' gate exactly: the bitmask cull only runs for
+    # tmax <= 32 (uint32 mask width) — a wider tmax falls back to the
+    # min(full_count, tmax) policy in both places, keeping this probe a
+    # faithful predictor of the binning's instance production
+    if cull and tile_size is not None and tmax <= 32:
         mask = tile_pass_mask(prep, tile_size=tile_size, tmax=tmax,
                               opacities=opacities)
         return jax.lax.population_count(mask).astype(jnp.int32)

@@ -7,7 +7,7 @@ L2-normalize, and write the `<image>_f.npy` [M, 512] feature table + `<image>_s.
 [4, H, W] seg maps with cumulative-offset ids — the exact contract
 `scene/cameras.py:58-92` consumes.
 
-The SAM and CLIP backends are injected (see sam_backend.py / clip_backend.py): any
+The SAM and CLIP backends are injected (see backends.py): any
 callable pair works, which keeps the pipeline testable offline and lets the embeddings
 run through flax/jax ports of the encoders when their weights are available.
 """

@@ -113,7 +113,6 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
     mcfg, ocfg, pipe = cfg.model, cfg.optimization, cfg.pipeline
     include_feature = ocfg.include_feature
     logger = RunLogger(mcfg.model_path or None, quiet=cfg.quiet)
-    rng = random.Random(cfg.seed)
     key = jax.random.key(cfg.seed)
 
     gui = None
@@ -126,7 +125,8 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
             logger.log(f"network GUI disabled ({e})")
             gui = None
 
-    scene = Scene(mcfg, initial_capacity_factor=ocfg.initial_capacity_factor)
+    scene = Scene(mcfg, initial_capacity_factor=ocfg.initial_capacity_factor,
+                  seed=cfg.seed)
     field = scene.gaussians
     spatial_lr_scale = scene.cameras_extent
     active_sh_degree = 0
@@ -136,13 +136,15 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         raise ValueError("feature training requires a phase-A checkpoint "
                          "(--start_checkpoint), as in the reference train.py:41-43")
 
+    resume_full = False
     if cfg.start_checkpoint:
-        loaded = np.load(cfg.start_checkpoint, allow_pickle=False)
-        # detect RGB-phase checkpoints being used to boot feature training
-        ck_has_feature = bool(loaded["__has_feature"]) if "__has_feature" in loaded \
-            else False
-        field, first_iter, spatial_lr_scale, active_sh_degree = \
-            _restore_field_only(cfg.start_checkpoint, field)
+        field, first_iter, spatial_lr_scale, active_sh_degree, ck_has_feature = \
+            field_io.load_field(cfg.start_checkpoint, field)
+        # same-phase checkpoints with optimizer+stats groups resume the FULL
+        # training state (reference capture()/restore(),
+        # scene/gaussian_model.py:63-131); cross-phase ones restore params only
+        resume_full = (ck_has_feature == include_feature
+                       and field_io.checkpoint_has_state(cfg.start_checkpoint))
         if include_feature and not ck_has_feature:
             first_iter = 0  # phase handoff resets the iteration counter (train.py:46-47)
     if include_feature:
@@ -151,6 +153,11 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
     optimizer = tr.make_optimizer(ocfg, spatial_lr_scale, include_feature)
     opt_state = optimizer.init(tr.extract_params(field, include_feature))
     stats = dn.DensifyStats.zeros(field.capacity)
+    if resume_full:
+        field, opt_state, stats, first_iter, spatial_lr_scale, active_sh_degree = \
+            field_io.load_checkpoint(cfg.start_checkpoint, field, opt_state, stats)
+        logger.log(f"resumed full training state at iteration {first_iter} "
+                   f"(capacity {field.capacity})")
 
     if mcfg.model_path:
         save_config(cfg, os.path.join(mcfg.model_path, "cfg_args.json"))
@@ -169,7 +176,23 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         budget_policy.resize(field.capacity, cnt)
         logger.log(f"instance budget {budget_policy.budget} "
                    f"(probed {cnt}, cap {budget_policy.cap(field.capacity)})")
-    viewpoint_stack: list = []
+    # Deterministic per-epoch camera schedule: the shuffled order is a pure
+    # function of (seed, epoch) and the position of (iteration), so an
+    # interrupted run resumes on the exact view sequence an uninterrupted run
+    # would have used — the reference's stateful pop-from-shuffled-stack
+    # (train.py:85-87) cannot resume deterministically mid-epoch.
+    train_cams = scene.get_train_cameras()
+    cur_epoch, epoch_order = -1, []
+
+    def cam_at(iteration: int):
+        nonlocal cur_epoch, epoch_order
+        epoch, pos = divmod(iteration - 1, len(train_cams))
+        if epoch != cur_epoch:
+            epoch_order = list(range(len(train_cams)))
+            random.Random(cfg.seed * 1_000_003 + epoch).shuffle(epoch_order)
+            cur_epoch = epoch
+        return train_cams[epoch_order[pos]], pos
+
     timer = Timer()
     history: list[float] = []
     # async decode + host->device staging of the next view's feature maps (the
@@ -198,12 +221,9 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         if iteration % 1000 == 0 and active_sh_degree < mcfg.sh_degree:
             active_sh_degree += 1
 
-        if not viewpoint_stack:
-            viewpoint_stack = list(scene.get_train_cameras())
-            rng.shuffle(viewpoint_stack)
-        cam = viewpoint_stack.pop()
-        if prefetcher is not None and viewpoint_stack:
-            prefetcher.schedule(viewpoint_stack[-1])
+        cam, epoch_pos = cam_at(iteration)
+        if prefetcher is not None and epoch_pos + 1 < len(train_cams):
+            prefetcher.schedule(train_cams[epoch_order[epoch_pos + 1]])
 
         view = jnp.asarray(cam.world_view_transform)
         proj = jnp.asarray(cam.full_proj_transform)
@@ -232,9 +252,17 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
             # (the reference's CUDA buffers reallocate instead, resizeFunctional
             # semantics); field/opt_state/stats are still the pre-step values
             if not budget_policy.grow(field.capacity):
-                logger.log(f"[iter {iteration}] WARNING: {dropped} instances "
-                           f"dropped at the budget cap "
-                           f"{budget_policy.cap(field.capacity)}")
+                msg = (f"[iter {iteration}] {dropped} instances dropped at the "
+                       f"budget cap {budget_policy.cap(field.capacity)} "
+                       f"(capacity {field.capacity}, budget_factor "
+                       f"{pipe.budget_factor}). The reference rasterizer "
+                       f"reallocates and never truncates; raise "
+                       f"pipeline.budget_factor or pipeline."
+                       f"max_tiles_per_gaussian, or opt into truncation with "
+                       f"pipeline.allow_budget_truncation.")
+                if not pipe.allow_budget_truncation:
+                    raise RuntimeError(msg)
+                logger.log("WARNING (truncated step): " + msg)
                 break
             logger.log(f"[iter {iteration}] instance budget -> "
                        f"{budget_policy.budget} ({dropped} dropped)")
@@ -253,7 +281,9 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         if not include_feature and iteration < ocfg.densify_until_iter:
             if (iteration > ocfg.densify_from_iter
                     and iteration % ocfg.densification_interval == 0):
-                key, sub = jax.random.split(key)
+                # key is a pure function of (seed, iteration) so a resumed run
+                # draws the same split samples an uninterrupted run would
+                sub = jax.random.fold_in(key, iteration)
                 use_size = iteration > ocfg.opacity_reset_interval
                 res = dn.densify_and_prune(
                     field, stats, sub, extent=scene.cameras_extent,
@@ -296,10 +326,10 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
 
         if iteration in cfg.checkpoint_iterations and mcfg.model_path:
             logger.log(f"[ITER {iteration}] Saving Checkpoint")
-            save_training_checkpoint(
+            field_io.save_checkpoint(
                 os.path.join(mcfg.model_path, f"chkpnt{iteration}.npz"),
-                field, iteration, spatial_lr_scale, active_sh_degree,
-                include_feature)
+                field, opt_state, stats, iteration, spatial_lr_scale,
+                active_sh_degree)
 
     if prefetcher is not None:
         prefetcher.close()
@@ -309,33 +339,31 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
             "active_sh_degree": active_sh_degree}
 
 
-def save_training_checkpoint(path, field, step, spatial_lr_scale, active_sh_degree,
-                             has_feature):
-    flat = {}
-    leaves, _ = jax.tree.flatten(field)
-    for i, leaf in enumerate(leaves):
-        flat[f"field_{i}"] = np.asarray(leaf)
-    flat["__step"] = np.int64(step)
-    flat["__spatial_lr_scale"] = np.float64(spatial_lr_scale)
-    flat["__active_sh_degree"] = np.int64(active_sh_degree)
-    flat["__has_feature"] = np.bool_(has_feature)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **flat)
-
-
-def _restore_field_only(path, template):
-    """Restore a field (+ scalars) from a training checkpoint, adapting capacity."""
-    data = np.load(path, allow_pickle=False)
-    n_leaves = len([k for k in data.files if k.startswith("field_")])
-    leaves = [jnp.asarray(data[f"field_{i}"]) for i in range(n_leaves)]
-    _, treedef = jax.tree.flatten(template)
-    ck_has_feature = bool(data["__has_feature"]) if "__has_feature" in data else False
-    tmpl = template.with_language_feature(3) if ck_has_feature and \
-        template.language_feature is None else template
-    _, treedef = jax.tree.flatten(tmpl)
-    field = jax.tree.unflatten(treedef, leaves)
-    return (field, int(data["__step"]), float(data["__spatial_lr_scale"]),
-            int(data["__active_sh_degree"]))
+def render_full(field, cam, pipe, active_sh_degree, include_feature, bg,
+                budget: int = 0):
+    """Render one view, retrying at a doubled instance budget until nothing is
+    dropped (up to the budget cap) — eval/test views can touch more tiles than
+    the training views the adaptive budget was sized for, and the reference
+    never truncates (resizeFunctional semantics)."""
+    cap = BudgetPolicy(pipe, field.capacity).cap(field.capacity)
+    budget = min(budget or cap, cap)
+    while True:
+        settings = make_settings(cam, pipe, active_sh_degree, include_feature,
+                                 field.capacity, budget=budget)
+        r = render(field, settings, jnp.asarray(cam.world_view_transform),
+                   jnp.asarray(cam.full_proj_transform),
+                   jnp.asarray(cam.camera_center), bg)
+        dropped = int(r["instances_dropped"])
+        if dropped == 0:
+            return r
+        if budget >= cap:
+            if pipe.allow_budget_truncation:
+                return r
+            raise RuntimeError(
+                f"render dropped {dropped} instances at the budget cap {cap} "
+                f"(capacity {field.capacity}); raise pipeline.budget_factor or "
+                f"opt into truncation with pipeline.allow_budget_truncation")
+        budget = min(budget * 2, cap)
 
 
 def evaluate_psnr(field, scene: Scene, pipe, active_sh_degree, include_feature, bg,
@@ -349,11 +377,8 @@ def evaluate_psnr(field, scene: Scene, pipe, active_sh_degree, include_feature, 
             continue
         l1s, psnrs = [], []
         for cam in cams:
-            settings = make_settings(cam, pipe, active_sh_degree, include_feature,
-                                     field.capacity, budget=budget)
-            r = render(field, settings, jnp.asarray(cam.world_view_transform),
-                       jnp.asarray(cam.full_proj_transform),
-                       jnp.asarray(cam.camera_center), bg)
+            r = render_full(field, cam, pipe, active_sh_degree, include_feature,
+                            bg, budget=budget)
             img = jnp.clip(r["render"], 0, 1)
             gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
             l1s.append(float(loss_lib.l1_loss(img, gt)))

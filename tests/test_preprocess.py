@@ -141,6 +141,75 @@ def test_auto_mask_generator_four_levels():
     assert abs(area(d) - area(m)) < 1e-6
 
 
+def test_crop_layers_add_part_masks():
+    """crop_n_layers=1 runs a second prompting pass over 4 overlapping crops
+    (upstream SAM crop semantics, enabled by the reference at
+    preprocess.py:368) — the crop grid hits objects the coarse full-image grid
+    misses, and the 4-head contract still holds."""
+    from langsplat_tpu.preprocess.auto_mask import generate_crop_boxes
+
+    # crop box geometry matches the upstream formula
+    boxes, layers = generate_crop_boxes((60, 80), 1, 512 / 1500)
+    assert boxes[0] == [0, 0, 80, 60] and layers[0] == 0
+    assert len(boxes) == 5 and layers[1:] == [1, 1, 1, 1]
+    for x0, y0, x1, y1 in boxes[1:]:
+        assert 0 <= x0 < x1 <= 80 and 0 <= y0 < y1 <= 60
+    # overlap: crops jointly cover the image
+    cover = np.zeros((60, 80), bool)
+    for x0, y0, x1, y1 in boxes[1:]:
+        cover[y0:y1, x0:x1] = True
+    assert cover.all()
+
+    class TinyObjectPredictor:
+        """Only yields a mask when the prompt lands within 3px of one of many
+        small objects — a coarse grid misses most of them."""
+        centers = [(x, y) for x in range(6, 64, 9) for y in range(6, 64, 9)]
+
+        def __call__(self, image, points):
+            h, w = image.shape[:2]
+            yy, xx = np.mgrid[:h, :w]
+            masks, ious, logits = [], [], []
+            for (px, py) in points:
+                near = [(cx, cy) for cx, cy in self.centers
+                        if abs(cx - px) < 3 and abs(cy - py) < 3]
+                ms, ls, iu = [], [], []
+                for r, iou in ((2, 0.85), (3, 0.9), (4, 0.87)):
+                    if near:
+                        cx, cy = near[0]
+                        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+                        ms.append(d2 < r * r)
+                        ls.append((r * r - d2).astype(np.float32) / r)
+                        iu.append(iou)
+                    else:
+                        ms.append(np.zeros((h, w), bool))
+                        ls.append(np.full((h, w), -10.0, np.float32))
+                        iu.append(0.0)
+                masks.append(ms)
+                ious.append(iu)
+                logits.append(ls)
+            return np.asarray(masks), np.asarray(ious), np.asarray(logits)
+
+    image = np.zeros((64, 64, 3), np.uint8)
+    base_cfg = dict(points_per_side=8, pred_iou_thresh=0.7,
+                    stability_score_thresh=0.3, box_nms_thresh=0.7,
+                    min_mask_region_area=0, points_per_batch=16)
+    flat = AutoMaskGenerator(TinyObjectPredictor(),
+                             AutoMaskConfig(**base_cfg, crop_n_layers=0))
+    crops = AutoMaskGenerator(TinyObjectPredictor(),
+                              AutoMaskConfig(**base_cfg, crop_n_layers=1))
+    d0, s0, m0, l0 = flat.generate(image)
+    d1, s1, m1, l1 = crops.generate(image)
+    # the crop pass finds strictly more part-level masks
+    assert len(d1) > len(d0)
+    for rec in d1 + s1 + m1 + l1:
+        assert set(rec) >= {"segmentation", "bbox", "predicted_iou",
+                            "stability_score"}
+        assert rec["segmentation"].shape == (64, 64)
+        # bbox is in full-image coordinates and tight around the segmentation
+        np.testing.assert_array_equal(rec["bbox"],
+                                      mask_to_bbox(rec["segmentation"]))
+
+
 def test_box_nms_and_grid():
     grid = build_point_grid(4)
     assert grid.shape == (16, 2)
