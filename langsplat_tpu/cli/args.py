@@ -33,6 +33,7 @@ def add_pipeline_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tile_size", type=int, default=16)
     p.add_argument("--chunk", type=int, default=128)
     p.add_argument("--budget_factor", type=int, default=6)
+    p.add_argument("--allow_budget_truncation", action="store_true")
     p.add_argument("--interpret", action="store_true",
                    help="CPU-testable path (tiled JAX backend)")
 
@@ -80,6 +81,7 @@ def extract_configs(args) -> TrainConfig:
         tile_size=getattr(args, "tile_size", 16),
         chunk=getattr(args, "chunk", 128),
         budget_factor=getattr(args, "budget_factor", 6),
+        allow_budget_truncation=getattr(args, "allow_budget_truncation", False),
         interpret=getattr(args, "interpret", False))
     okw = {}
     for f in OptimizationConfig.__dataclass_fields__:

@@ -32,6 +32,8 @@ def main(argv=None):
                         help="npz of precomputed prompt embeddings (offline mode)")
     parser.add_argument("--iteration", type=str, default="None",
                         help="render iteration in the feat dir layout")
+    parser.add_argument("--no_vis", action="store_true",
+                        help="skip heatmap/composited/localization artifacts")
     args = parser.parse_args(argv)
 
     import jax
@@ -76,7 +78,8 @@ def main(argv=None):
         encode_text = ClipTextEncoder(args.clip_model or DEFAULT_MODEL)
 
     result = evaluate(feat_dirs, json_folder, decode_fn, encode_text,
-                      mask_thresh=args.mask_thresh, logger=logger.info)
+                      mask_thresh=args.mask_thresh, logger=logger.info,
+                      output_path=None if args.no_vis else output_path)
     return result
 
 

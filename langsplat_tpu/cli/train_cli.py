@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=0,
                         help="SIBR viewer bridge port (0 = disabled)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler trace of a few steps here")
+    parser.add_argument("--profile_from", type=int, default=50)
+    parser.add_argument("--profile_steps", type=int, default=5)
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
@@ -47,7 +51,9 @@ def main(argv=None):
                   save_iterations=tuple(args.save_iterations),
                   checkpoint_iterations=tuple(args.checkpoint_iterations),
                   start_checkpoint=args.start_checkpoint,
-                  seed=args.seed, quiet=args.quiet)
+                  seed=args.seed, quiet=args.quiet,
+                  profile_dir=args.profile_dir, profile_from=args.profile_from,
+                  profile_steps=args.profile_steps)
 
     from langsplat_tpu.train.loop import training
     training(cfg, gui_host=args.ip, gui_port=args.port)

@@ -36,9 +36,9 @@ class ModelConfig:
 class PipelineConfig:
     """Mirrors PipelineParams (/root/reference/arguments/__init__.py:67-72) plus the
     TPU-specific rasterizer knobs."""
-    convert_shs_python: bool = False   # kept for API parity; the SH path is always jnp
-    compute_cov3d_python: bool = False
-    debug: bool = False
+    convert_shs_python: bool = False   # model-layer SH->color cross-check path
+    compute_cov3d_python: bool = False  # model-layer covariance cross-check path
+    debug: bool = False                # per-step budget/drop diagnostics
     tile_size: int = 16
     chunk: int = 128
     budget_factor: int = 6             # instance budget CAP = factor * capacity
@@ -89,6 +89,11 @@ class TrainConfig:
     start_checkpoint: str = ""
     seed: int = 0
     quiet: bool = False
+    # jax.profiler trace window (SURVEY.md §5 tracing): iterations
+    # [profile_from, profile_from + profile_steps) are captured to profile_dir
+    profile_dir: str = ""
+    profile_from: int = 50
+    profile_steps: int = 5
 
 
 def to_dict(cfg) -> dict:

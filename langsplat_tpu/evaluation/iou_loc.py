@@ -102,12 +102,17 @@ def mean_filter_30(x: np.ndarray, scale: int = 30) -> np.ndarray:
 
 
 def activate_stream(valid_map: np.ndarray, img_ann: dict, positives: list[str],
-                    thresh: float = 0.5):
+                    thresh: float = 0.5, out_dir: str | None = None,
+                    rgb_img: np.ndarray | None = None):
     """Per-prompt IoU with best-of-levels selection (evaluate_iou_loc.py:90-159).
 
     valid_map: [L, P, H, W] raw relevancy maps (get_max_across output).
+    With out_dir, writes the reference's per-prompt heatmap / composited /
+    chosen-mask artifacts (evaluate_iou_loc.py:113-143, 155-157).
     Returns (chosen_ious, chosen_levels, smoothed_map, masks [L,P,H,W]).
     """
+    from langsplat_tpu.evaluation import viz
+
     n_head, n_prompt, h, w = valid_map.shape
     smoothed = valid_map.copy()
     chosen_iou_list, chosen_lvl_list = [], []
@@ -117,6 +122,13 @@ def activate_stream(valid_map: np.ndarray, img_ann: dict, positives: list[str],
         for i in range(n_head):
             avg = mean_filter_30(valid_map[i, k])
             smoothed[i, k] = 0.5 * (avg + valid_map[i, k])
+
+            if out_dir is not None:
+                viz.heatmap_png(smoothed[i, k], os.path.join(
+                    out_dir, "heatmap", f"{positives[k]}_{i}.png"))
+                if rgb_img is not None:
+                    viz.composited_png(smoothed[i, k], rgb_img, os.path.join(
+                        out_dir, "composited", f"{positives[k]}_{i}.png"))
 
             output = smoothed[i, k]
             output = output - output.min()
@@ -136,12 +148,21 @@ def activate_stream(valid_map: np.ndarray, img_ann: dict, positives: list[str],
         chosen_lvl = int(np.argmax(score_lvl))
         chosen_iou_list.append(float(iou_lvl[chosen_lvl]))
         chosen_lvl_list.append(chosen_lvl)
+        if out_dir is not None:
+            viz.save_mask(masks[chosen_lvl, k], os.path.join(
+                out_dir, f"chosen_{positives[k]}.png"))
     return chosen_iou_list, chosen_lvl_list, smoothed, masks
 
 
 def lerf_localization(valid_map: np.ndarray, img_ann: dict,
-                      positives: list[str]) -> int:
-    """Smoothed-argmax-in-bbox accuracy count (evaluate_iou_loc.py:162-217)."""
+                      positives: list[str], out_dir: str | None = None,
+                      rgb_img: np.ndarray | None = None) -> int:
+    """Smoothed-argmax-in-bbox accuracy count (evaluate_iou_loc.py:162-217).
+
+    With out_dir (+ rgb_img), writes the per-prompt localization composites
+    (evaluate_iou_loc.py:205-216)."""
+    from langsplat_tpu.evaluation import viz
+
     n_head, n_prompt, h, w = valid_map.shape
     acc_num = 0
     for k in range(n_prompt):
@@ -156,6 +177,20 @@ def lerf_localization(valid_map: np.ndarray, img_ann: dict,
             coord_lvl.append(np.asarray(coord).transpose(1, 0)[..., ::-1])  # (x, y)
         selec_head = int(np.argmax(score_lvl))
         coord_final = coord_lvl[selec_head]
+
+        if out_dir is not None and rgb_img is not None:
+            from langsplat_tpu.evaluation.colormaps import (ColormapOptions,
+                                                            apply_colormap)
+            relev = 0.5 * (avg_filtered[..., selec_head]
+                           + valid_map[selec_head, k])
+            p_i = np.clip(relev - 0.5, 0, 1)[..., None].astype(np.float32)
+            composited = apply_colormap(p_i / (p_i.max() + 1e-6),
+                                        ColormapOptions(colormap="turbo"))
+            composited[relev < 0.5, :] = np.asarray(rgb_img)[relev < 0.5, :] * 0.3
+            viz.localization_png(
+                composited, coord_final[0],
+                img_ann[positives[k]]["bboxes"],
+                os.path.join(out_dir, "localization", f"{positives[k]}.png"))
 
         for box in img_ann[positives[k]]["bboxes"].reshape(-1, 4):
             flag = 0
@@ -173,18 +208,22 @@ def lerf_localization(valid_map: np.ndarray, img_ann: dict,
 
 
 def evaluate(feat_dirs: list[str], json_folder: str, decode_fn, encode_text_fn,
-             mask_thresh: float = 0.4, logger=print) -> dict:
+             mask_thresh: float = 0.4, logger=print,
+             output_path: str | None = None) -> dict:
     """Full evaluation (evaluate_iou_loc.py:220-285).
 
     Args:
       feat_dirs: one rendered-feature dir per level (renders_npy with [H,W,3] files).
       decode_fn: [N, 3] -> [N, 512] autoencoder decoder.
       encode_text_fn: list[str] -> [K, 512] L2-normalized CLIP text embeddings.
+      output_path: when given, per-frame visualization artifacts are written to
+        `<output_path>/<idx+1:05d>/{heatmap,composited,localization,chosen_*}`
+        mirroring the reference layout (evaluate_iou_loc.py:249-250).
     Returns {"miou": float, "localization_acc": float, "chosen_levels": [...]}.
     """
     from langsplat_tpu.evaluation.relevancy import NEGATIVE_PROMPTS
 
-    gt_ann, (h, w), _ = eval_gt_lerfdata(json_folder)
+    gt_ann, (h, w), img_paths = eval_gt_lerfdata(json_folder)
     eval_idx = [int(i) for i in gt_ann.keys()]
 
     neg_embeds = np.asarray(encode_text_fn(list(NEGATIVE_PROMPTS)))
@@ -209,11 +248,23 @@ def evaluate(feat_dirs: list[str], json_folder: str, decode_fn, encode_text_fn,
                                               jnp.asarray(pos_embeds),
                                               jnp.asarray(neg_embeds)))
 
+        out_dir = rgb_img = None
+        if output_path is not None:
+            out_dir = os.path.join(output_path, f"{idx + 1:0>5}")
+            os.makedirs(out_dir, exist_ok=True)
+            if j < len(img_paths):
+                from PIL import Image
+                rgb_img = np.asarray(Image.open(img_paths[j]).convert("RGB"),
+                                     np.float32) / 255.0
+
         ious, lvls, smoothed, _ = activate_stream(valid_map, img_ann, positives,
-                                                  thresh=mask_thresh)
+                                                  thresh=mask_thresh,
+                                                  out_dir=out_dir,
+                                                  rgb_img=rgb_img)
         chosen_iou_all.extend(ious)
         chosen_lvl_all.extend(lvls)
-        acc_num += lerf_localization(valid_map, img_ann, positives)
+        acc_num += lerf_localization(valid_map, img_ann, positives,
+                                     out_dir=out_dir, rgb_img=rgb_img)
 
     miou = float(np.mean(chosen_iou_all)) if chosen_iou_all else 0.0
     total_bboxes = sum(len(a) for a in gt_ann.values())

@@ -49,6 +49,12 @@ class RenderSettings:
                              # (image exact, gradients ~0.5% error); no measured
                              # gain on v5e (bwd is latency-bound) — opt-in knob
                              # for other TPU generations
+    # the reference's pipe.convert_SHs_python / pipe.compute_cov3D_python escape
+    # hatches (`/root/reference/gaussian_renderer/__init__.py:59-84`): compute SH
+    # colors / 3D covariances at the model layer and feed them in as precomputed
+    # values — bitwise-identical output, used as a cross-check path
+    convert_shs_python: bool = False
+    compute_cov3d_python: bool = False
 
     @property
     def grid_x(self) -> int:
@@ -72,6 +78,17 @@ def render(
 ) -> dict[str, Any]:
     cap = field.xyz.shape[0]
     budget = settings.budget or 6 * cap
+
+    if settings.compute_cov3d_python and cov3d_precomp is None:
+        cov3d_precomp = field.get_covariance(settings.scale_modifier)
+    if settings.convert_shs_python and override_color is None:
+        # same math preprocess runs internally (projection.py:177-179), done at
+        # the model layer — the reference's convert_SHs_python cross-check
+        from langsplat_tpu.core import sh as sh_lib
+        dirs = field.xyz - campos[None, :]
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        override_color = sh_lib.sh_to_color(
+            settings.sh_degree, jnp.swapaxes(field.get_features, -1, -2), dirs)
 
     shs = None
     colors_precomp = override_color

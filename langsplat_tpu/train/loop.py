@@ -52,6 +52,8 @@ def make_settings(cam, pipe, active_sh_degree: int, include_feature: bool,
         max_tiles_per_gaussian=pipe.max_tiles_per_gaussian,
         backend="tiled" if pipe.interpret else "pallas",
         interpret=pipe.interpret,
+        convert_shs_python=pipe.convert_shs_python,
+        compute_cov3d_python=pipe.compute_cov3d_python,
         # the feature phase freezes geometry (reference train.py:96-99): the
         # backward then only needs d(language_feature), which skips the whole
         # geometric gradient chain in the blend kernel
@@ -200,7 +202,19 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
     prefetcher = FeaturePrefetcher(mcfg.lf_path, mcfg.feature_level) \
         if include_feature else None
 
+    trace_active = False
     for iteration in range(first_iter + 1, ocfg.iterations + 1):
+        if cfg.profile_dir:
+            # SURVEY.md §5 tracing: capture a post-warmup trace window for the
+            # profiler UI instead of relying on ad-hoc timing scripts
+            if iteration == cfg.profile_from:
+                jax.profiler.start_trace(cfg.profile_dir)
+                trace_active = True
+            elif trace_active and iteration == cfg.profile_from + cfg.profile_steps:
+                jax.profiler.stop_trace()
+                trace_active = False
+                logger.log(f"profiler trace ({cfg.profile_steps} steps) written "
+                           f"to {cfg.profile_dir}")
         if gui is not None:
             def gui_render(minicam, scale_mod):
                 s = RenderSettings(
@@ -270,6 +284,13 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         elapsed = timer.stop(out.loss)
 
         loss_val = float(out.loss)
+        if pipe.debug:
+            # the reference's pipe.debug dumps rasterizer state on error; the
+            # TPU analog surfaces the budget/drop accounting every step
+            logger.log(f"[iter {iteration}] debug: budget={budget_policy.budget} "
+                       f"cap={budget_policy.cap(field.capacity)} "
+                       f"dropped={int(out.dropped)} "
+                       f"alive={int(field.num_alive)}/{field.capacity}")
         history.append(loss_val)
         logger.progress(iteration, loss_val,
                         extra=f" n={int(field.num_alive)} {elapsed:.0f}ms")
@@ -331,6 +352,8 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                 field, opt_state, stats, iteration, spatial_lr_scale,
                 active_sh_degree)
 
+    if trace_active:
+        jax.profiler.stop_trace()
     if prefetcher is not None:
         prefetcher.close()
     logger.close()

@@ -51,7 +51,11 @@ class LPIPS:
 
     def __init__(self, net_type: str = "alex", weights_dir: str | None = None):
         import torch
-        import torchvision.models as tvm
+        try:
+            import torchvision.models as tvm
+        except ImportError as e:
+            raise RuntimeError("torchvision unavailable in this image; LPIPS "
+                               "needs its backbone weights") from e
         self.torch = torch
         factory = {"alex": tvm.alexnet, "vgg": tvm.vgg16,
                    "squeeze": tvm.squeezenet1_1}[net_type]
@@ -66,8 +70,19 @@ class LPIPS:
                        "squeeze": (2, 5, 8, 10, 11, 12, 13)}[net_type]
         self.lin = None
         if weights_dir:
-            data = np.load(weights_dir)
-            self.lin = [jnp.asarray(data[k]) for k in sorted(data.files)]
+            if weights_dir.endswith((".pth", ".pt")):
+                # richzhang lpips/weights/v0.1/<net>.pth: state dict with
+                # lin{i}.model.1.weight tensors of shape [1, C, 1, 1]
+                # (`/root/reference/lpipsPyTorch/modules/utils.py:11-30`)
+                sd = torch.load(weights_dir, map_location="cpu",
+                                weights_only=True)
+                keys = sorted((k for k in sd if k.endswith(".weight")),
+                              key=lambda k: int(k.split(".")[0][3:]))
+                self.lin = [jnp.asarray(np.asarray(sd[k]).reshape(-1))
+                            for k in keys]
+            else:
+                data = np.load(weights_dir)
+                self.lin = [jnp.asarray(data[k]) for k in sorted(data.files)]
 
     def extract(self, image: np.ndarray) -> list[jnp.ndarray]:
         torch = self.torch

@@ -153,12 +153,22 @@ def test_evaluate_end_to_end_synthetic(tmp_path):
                 fm[10:31, 10:31] = [1, 0, 0]  # cup latent
             np.save(d / f"{idx:05d}.npy", fm)
 
+    vis_out = tmp_path / "eval_result"
     res = evaluate([str(tmp_path / f"feat_{i}") for i in (1, 2, 3)],
                    str(tmp_path), decode_fn, encode_text, mask_thresh=0.4,
-                   logger=lambda *_: None)
+                   logger=lambda *_: None, output_path=str(vis_out))
     assert res["miou"] > 0.5
     assert res["localization_acc"] == 1.0
     assert all(l == 1 for l in res["chosen_levels"])
+    # visualization artifacts mirror the reference layout
+    # (evaluate_iou_loc.py:128-143,205-216): frames are {idx+1:05d} dirs
+    for frame in ("00001", "00005"):
+        base = vis_out / frame
+        for lvl in range(3):
+            assert (base / "heatmap" / f"cup_{lvl}.png").exists()
+            assert (base / "composited" / f"cup_{lvl}.png").exists()
+        assert (base / "chosen_cup.png").exists()
+        assert (base / "localization" / "cup.png").exists()
 
 
 def test_colormaps():

@@ -213,3 +213,31 @@ def test_end_to_end_feature_training_improves():
     assert last < first * 0.5, (first, last)
     # geometry untouched
     np.testing.assert_array_equal(np.asarray(field.xyz), np.asarray(gt_field.xyz))
+
+
+def test_python_escape_hatches_bitwise():
+    """convert_shs_python / compute_cov3D_python produce bitwise-identical
+    renders to the kernel-internal paths (the reference's cross-check contract,
+    gaussian_renderer/__init__.py:59-84)."""
+    from dataclasses import replace as dc_replace
+    h = w = 32
+    cam = make_camera(w=w, h=h)
+    base = RenderSettings(
+        image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+        tanfovy=cam["tanfovy"], sh_degree=1, include_feature=False,
+        tile_size=16, backend="tiled", max_per_tile=128, budget=1024)
+    field = make_field(n=12, cap=32, seed=5)
+    # non-trivial SH rest coefficients so the SH path actually matters
+    rng = np.random.default_rng(6)
+    field = dc_replace(field, features_rest=jnp.asarray(
+        rng.normal(0, 0.2, field.features_rest.shape).astype(np.float32)))
+    bg = jnp.zeros(3)
+
+    ref = render(field, base, cam["viewmatrix"], cam["projmatrix"],
+                 cam["campos"], bg)["render"]
+    for kw in ({"convert_shs_python": True}, {"compute_cov3d_python": True},
+               {"convert_shs_python": True, "compute_cov3d_python": True}):
+        alt = render(field, dc_replace(base, **kw), cam["viewmatrix"],
+                     cam["projmatrix"], cam["campos"], bg)["render"]
+        np.testing.assert_array_equal(np.asarray(alt), np.asarray(ref),
+                                      err_msg=str(kw))
