@@ -36,13 +36,29 @@ class DpStepOutput(NamedTuple):
 
 def make_dp_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
                        include_feature: bool, lambda_dssim: float = 0.2,
-                       axis: str = "data"):
+                       axis: str = "data", zero2: bool = False,
+                       capacity: int | None = None, opt_state_template=None):
     """Build a jitted DP train step.
 
     Batched camera arrays have leading view dim V (divisible by mesh axis size):
       viewmats [V,4,4], projmats [V,4,4], campos [V,3], and either gt_images [V,3,H,W]
       (RGB phase) or gt_features [V,F,H,W] + masks [V,1,H,W] (feature phase).
-    """
+
+    With `zero2=True` (requires `capacity` + `opt_state_template`), the optimizer
+    state shards over the data axis and the gradient all-reduce becomes a
+    reduce-scatter: each device Adam-updates only its 1/D slice of the parameter
+    rows and an all_gather rebuilds the replicated parameters — the ZeRO-2 DP
+    plan from docs/SCALING.md for >1.5M-Gaussian scenes, where replicated Adam
+    moments (2 x 59 floats/Gaussian) dominate DP memory. Numerics are identical
+    to the replicated step (elementwise Adam; reduce-scatter sums the same
+    per-device partials psum does). Use `shard_opt_state` to lay the optimizer
+    state out before the first step."""
+    if zero2 and (capacity is None or opt_state_template is None):
+        raise ValueError("zero2=True needs capacity and opt_state_template")
+    ndev = mesh.shape[axis]
+    if zero2 and capacity % ndev != 0:
+        raise ValueError(f"capacity {capacity} must divide by the {axis} axis "
+                         f"size {ndev}")
 
     def shard_fn(field, opt_state, stats, viewmats, projmats, campos, gts, masks, bg):
         params = extract_params(field, include_feature)
@@ -69,26 +85,57 @@ def make_dp_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
         (local_loss, (vis, radii)), (grads, ss_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, zeros2d)
 
-        # ICI all-reduce: average param grads; the means2D stat tap and visibility are
-        # summed so densification sees every view (reference accumulates per view)
-        grads = jax.lax.pmean(grads, axis)
+        # ICI reductions: the means2D stat tap and visibility are summed so
+        # densification sees every view (reference accumulates per view)
         loss = jax.lax.pmean(local_loss, axis)
         ss_grad = jax.lax.psum(ss_grad, axis)
         any_vis = jax.lax.psum(jnp.any(vis, axis=0).astype(jnp.int32), axis) > 0
         max_radii = jax.lax.pmax(jnp.max(radii, axis=0), axis)
 
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
+        if zero2:
+            # reduce-scatter the grads along the parameter-row axis: each device
+            # receives the cross-device SUM for its 1/D row slice; /ndev makes it
+            # the same mean pmean produces
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum_scatter(g, axis, scatter_dimension=0,
+                                               tiled=True) / ndev, grads)
+            shard_rows = capacity // ndev
+            row0 = jax.lax.axis_index(axis) * shard_rows
+            params_shard = jax.tree.map(
+                lambda p: jax.lax.dynamic_slice_in_dim(p, row0, shard_rows, 0),
+                params)
+            updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                      params_shard)
+            new_shard = optax.apply_updates(params_shard, updates)
+            new_params = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+                new_shard)
+        else:
+            grads = jax.lax.pmean(grads, axis)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
         new_field = merge_params(field, new_params)
         new_stats = update_stats(stats, ss_grad, any_vis, max_radii)
         return DpStepOutput(new_field, new_opt_state, new_stats, loss)
 
     rep = P()
     sh = P(axis)
+    if zero2:
+        from langsplat_tpu.parallel.gauss_sharded import capacity_specs
+        opt_specs = capacity_specs(opt_state_template, capacity, axis)
+    else:
+        opt_specs = rep
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, sh, rep),
-        out_specs=rep,
+        in_specs=(rep, opt_specs, rep, sh, sh, sh, sh, sh, rep),
+        out_specs=DpStepOutput(rep, opt_specs, rep, rep),
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def shard_opt_state(mesh: Mesh, opt_state, capacity: int, axis: str = "data"):
+    """Lay a replicated optimizer state out with its [capacity, ...] moment rows
+    sharded over `axis` (ZeRO-2 setup)."""
+    from langsplat_tpu.parallel.gauss_sharded import shard_state
+    return shard_state(mesh, opt_state, capacity, axis)

@@ -189,3 +189,64 @@ def test_dp_spatial_feature_phase_runs():
     out = step(field, opt_state, stats, views, projs, cpos, gts, masks, bg)
     assert np.isfinite(float(out.loss))
     np.testing.assert_array_equal(np.asarray(out.field.xyz), np.asarray(field.xyz))
+
+
+def test_dp_zero2_matches_replicated():
+    """ZeRO-2 DP (reduce-scatter grads + sharded Adam + all_gather params)
+    matches the replicated DP step on every output (VERDICT r01 #5;
+    docs/SCALING.md >1.5M-Gaussian plan)."""
+    from langsplat_tpu.parallel.data_parallel import shard_opt_state
+
+    mesh = make_mesh(8)
+    h = w = 32
+    views, projs, cpos, tanf = batched_cameras(v=8, w=w, h=h)
+    settings = RenderSettings(image_height=h, image_width=w, tanfovx=tanf,
+                              tanfovy=tanf, sh_degree=0, include_feature=False,
+                              tile_size=16, backend="tiled", max_per_tile=128,
+                              budget=1024)
+    bg = jnp.zeros(3)
+    gt_field = make_field(n=12, cap=32, seed=3)
+    gts = jnp.stack([
+        render(gt_field, settings, views[i], projs[i], cpos[i], bg)["render"]
+        for i in range(8)])
+    masks = jnp.ones((8, 1, 1, 1))
+
+    from dataclasses import replace
+    rng = np.random.default_rng(1)
+    field = replace(gt_field, xyz=gt_field.xyz + jnp.asarray(
+        rng.normal(0, 0.08, (32, 3)).astype(np.float32)))
+
+    cfg = OptimizationConfig()
+    opt = tr.make_optimizer(cfg, spatial_lr_scale=1.0, include_feature=False)
+    params = tr.extract_params(field, include_feature=False)
+    opt_state = opt.init(params)
+    stats = dn.DensifyStats.zeros(32)
+
+    step_rep = make_dp_train_step(mesh, settings, opt, include_feature=False)
+    step_z2 = make_dp_train_step(mesh, settings, opt, include_feature=False,
+                                 zero2=True, capacity=32,
+                                 opt_state_template=opt_state)
+    opt_state_sharded = shard_opt_state(mesh, opt_state, 32)
+
+    out_rep = step_rep(field, opt_state, stats, views, projs, cpos, gts, masks,
+                       bg)
+    out_z2 = step_z2(field, opt_state_sharded, stats, views, projs, cpos, gts,
+                     masks, bg)
+
+    np.testing.assert_allclose(float(out_z2.loss), float(out_rep.loss),
+                               rtol=1e-6)
+    for name in ("xyz", "features_dc", "features_rest", "scaling", "rotation",
+                 "opacity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_z2.field, name)),
+            np.asarray(getattr(out_rep.field, name)), atol=1e-6,
+            err_msg=f"zero2 diverged from replicated DP in {name}")
+    # moment rows agree too (gather the sharded state back)
+    mo_rep = jax.tree.leaves(out_rep.opt_state)
+    mo_z2 = jax.tree.leaves(jax.device_get(out_z2.opt_state))
+    for a, b in zip(mo_z2, mo_rep):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # a second step keeps working on the sharded state
+    o2 = step_z2(out_z2.field, out_z2.opt_state, out_z2.stats, views, projs,
+                 cpos, gts, masks, bg)
+    assert np.isfinite(float(o2.loss))
