@@ -84,3 +84,41 @@ def test_band_render_nonuniform_rows():
         bands.append(np.asarray(out["render"]))
     stitched = np.concatenate(bands, axis=1)[:, :h]
     np.testing.assert_allclose(stitched, np.asarray(ref), atol=2e-5)
+
+
+def test_depth_sharded_matches_single_device():
+    """Depth-rank-interval sharded blending composes to the single-device render
+    (the ring/blockwise analog, SURVEY §5; VERDICT r01 missing #5)."""
+    import jax.numpy as jnp
+    from langsplat_tpu.parallel.depth_sharded import make_depth_sharded_render
+    from langsplat_tpu.parallel.mesh import make_mesh
+    from langsplat_tpu.ops.render import RenderSettings, render
+    from tests.test_model_train import make_field
+    from tests.test_projection_and_dense import make_camera
+
+    mesh = make_mesh(8, axis_names=("depth",))
+    h = w = 32
+    cam = make_camera(w=w, h=h)
+    settings = RenderSettings(
+        image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+        tanfovy=cam["tanfovy"], sh_degree=1, include_feature=True,
+        tile_size=16, backend="tiled", max_per_tile=128, budget=2048)
+    field = make_field(n=40, cap=64, seed=9).with_language_feature(3, seed=1)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+
+    ref = render(field, settings, cam["viewmatrix"], cam["projmatrix"],
+                 cam["campos"], bg)
+    fn = make_depth_sharded_render(mesh, settings)
+    out = fn(field, cam["viewmatrix"], cam["projmatrix"], cam["campos"], bg)
+
+    assert int(out["instances_dropped"]) == 0
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["language_feature_image"]),
+                               np.asarray(ref["language_feature_image"]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["final_transmittance"]),
+                               np.asarray(ref["final_transmittance"]),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out["radii"]),
+                                  np.asarray(ref["radii"]))
