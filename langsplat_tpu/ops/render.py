@@ -147,7 +147,8 @@ def render(
 
     out["radii"] = prep.radii
     out["visibility_filter"] = prep.radii > 0
-    out["instances_dropped"] = inst.dropped
+    out["instances_dropped"] = inst.dropped          # budget overflow: grow budget
+    out["rect_dropped"] = inst.rect_dropped          # tmax overflow: grow max_tiles
     if "language_feature_image" not in out:
         out["language_feature_image"] = jnp.zeros(
             (1,) + out["render"].shape[1:], out["render"].dtype)

@@ -27,9 +27,15 @@ import jax.numpy as jnp
 from langsplat_tpu.ops.projection import PreprocessOut
 
 
+#: widest per-Gaussian tile cap the bitmask cull supports (uint32 words x 4);
+#: beyond this bin_gaussians falls back to uncculled rect binning
+MAX_CULL_TMAX = 128
+
+
 @functools.partial(jax.tree_util.register_dataclass,
                    data_fields=("gauss_id", "tile_id", "tile_start", "num_instances",
-                                "dropped", "presort_slot", "gauss_offsets"),
+                                "dropped", "rect_dropped", "presort_slot",
+                                "gauss_offsets"),
                    meta_fields=("max_tiles",))
 @dataclasses.dataclass(frozen=True)
 class InstanceBuffer:
@@ -38,7 +44,11 @@ class InstanceBuffer:
     tile_id: jnp.ndarray     # [budget] int32 sorted tile ids (num_tiles for padding)
     tile_start: jnp.ndarray  # [num_tiles + 1] int32 range starts into the sorted arrays
     num_instances: jnp.ndarray  # [] int32 valid instance count
-    dropped: jnp.ndarray     # [] int32 instances lost to budget/max-tiles overflow
+    dropped: jnp.ndarray     # [] int32 instances lost to the BUDGET cap (fix: larger
+                             # budget)
+    rect_dropped: jnp.ndarray  # [] int32 tile positions lost to the max_tiles cap on
+                             # huge rects (fix: larger max_tiles_per_gaussian — a
+                             # bigger budget can never recover these)
     presort_slot: jnp.ndarray   # [budget] int32 compacted pre-sort slot (gaussian-major)
     gauss_offsets: jnp.ndarray  # [N + 1] int32 pre-sort slot range per Gaussian
     max_tiles: int = 32      # static: the stride of presort_slot
@@ -107,8 +117,9 @@ def _low_bits(count: jnp.ndarray) -> jnp.ndarray:
 
 def tile_pass_mask(prep: PreprocessOut, *, tile_size: int, tmax: int,
                    opacities: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Per-Gaussian uint32 bitmask over its (clipped) tile rect, row-major: bit j set
-    iff tile j can receive alpha >= ALPHA_EPS from this Gaussian somewhere in the tile.
+    """Per-Gaussian uint32 bitmask [N, ceil(tmax/32)] over its (clipped) tile rect,
+    row-major: bit j of word j//32 set iff tile j can receive alpha >= ALPHA_EPS
+    from this Gaussian somewhere in the tile.
 
     Conservative ellipse-vs-tile test: the blend kernel's keep mask already zeroes
     instances whose alpha falls below ALPHA_EPS (1/255) at every pixel
@@ -169,17 +180,24 @@ def tile_pass_mask(prep: PreprocessOut, *, tile_size: int, tmax: int,
                        jnp.minimum(edge_y(y0), edge_y(y1)))
     qmin = jnp.where(inside, 0.0, qmin)
     passing = (j < rect) & (qmin <= lam) & prep.visible[:, None]
-    bits = jnp.sum(jnp.where(passing, jnp.uint32(1) << j.astype(jnp.uint32),
-                             jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    words = (tmax + 31) // 32
+    bit = jnp.uint32(1) << (j % 32).astype(jnp.uint32)
+    bits = jnp.stack(
+        [jnp.sum(jnp.where(passing[:, 32 * w:32 * (w + 1)],
+                           bit[:, 32 * w:32 * (w + 1)], jnp.uint32(0)),
+                 axis=1, dtype=jnp.uint32) for w in range(words)], axis=1)
     # huge rects (> tmax candidate positions): no per-tile culling, first tmax tiles
     # bin — unless lam < 0 (opacity below ALPHA_EPS: alpha <= opa < eps EVERYWHERE,
     # since Q >= 0), which culls the Gaussian outright
     any_alpha = (jnp.asarray(lam) >= 0.0)
     if any_alpha.ndim:
         any_alpha = any_alpha[:, 0]
-    full = jnp.where(prep.visible & any_alpha,
-                     _low_bits(jnp.minimum(rect[:, 0], tmax)), jnp.uint32(0))
-    return jnp.where(rect[:, 0] > tmax, full, bits)
+    capped = jnp.minimum(rect[:, 0], tmax)
+    full = jnp.stack(
+        [jnp.where(prep.visible & any_alpha,
+                   _low_bits(jnp.clip(capped - 32 * w, 0, 32)), jnp.uint32(0))
+         for w in range(words)], axis=1)
+    return jnp.where(rect[:, 0:1] > tmax, full, bits)
 
 
 def instance_counts(prep: PreprocessOut, *, tile_size: int | None, tmax: int,
@@ -190,13 +208,13 @@ def instance_counts(prep: PreprocessOut, *, tile_size: int | None, tmax: int,
     h = prep.tiles_max[:, 1] - prep.tiles_min[:, 1]
     full_count = jnp.where(prep.visible, w * h, 0)
     # mirror bin_gaussians' gate exactly: the bitmask cull only runs for
-    # tmax <= 32 (uint32 mask width) — a wider tmax falls back to the
-    # min(full_count, tmax) policy in both places, keeping this probe a
+    # tmax <= MAX_CULL_TMAX (the uint32-word budget) — a wider tmax falls back
+    # to the min(full_count, tmax) policy in both places, keeping this probe a
     # faithful predictor of the binning's instance production
-    if cull and tile_size is not None and tmax <= 32:
+    if cull and tile_size is not None and tmax <= MAX_CULL_TMAX:
         mask = tile_pass_mask(prep, tile_size=tile_size, tmax=tmax,
                               opacities=opacities)
-        return jax.lax.population_count(mask).astype(jnp.int32)
+        return jnp.sum(jax.lax.population_count(mask), axis=1).astype(jnp.int32)
     return jnp.minimum(full_count, tmax)
 
 
@@ -211,6 +229,22 @@ def _select_bit(mask: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
         k = jnp.where(go, k - c, k)
         m = jnp.where(go, m >> b, low)
         r = r + jnp.where(go, b, 0)
+    return r
+
+
+def _select_bit_words(words: list[jnp.ndarray], k: jnp.ndarray) -> jnp.ndarray:
+    """Index of the (k+1)-th set bit across a little-endian uint32 word list
+    (undefined if the total popcount <= k). Static loop over the few words."""
+    if len(words) == 1:
+        return _select_bit(words[0], k)
+    r = jnp.zeros_like(k)
+    done = jnp.zeros(k.shape, bool)
+    for w, m in enumerate(words):
+        c = jax.lax.population_count(m).astype(k.dtype)
+        here = (~done) & (k < c)
+        r = jnp.where(here, 32 * w + _select_bit(m, jnp.maximum(k, 0)), r)
+        done = done | here
+        k = k - c
     return r
 
 
@@ -238,11 +272,12 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
     w = prep.tiles_max[:, 0] - prep.tiles_min[:, 0]
     h = prep.tiles_max[:, 1] - prep.tiles_min[:, 1]
     full_count = jnp.where(prep.visible, w * h, 0)
-    culling = cull and tile_size is not None and tmax <= 32
+    culling = cull and tile_size is not None and tmax <= MAX_CULL_TMAX
+    mask_words = (tmax + 31) // 32
     if culling:
         mask = tile_pass_mask(prep, tile_size=tile_size, tmax=tmax,
                               opacities=opacities)
-        count = jax.lax.population_count(mask).astype(jnp.int32)
+        count = jnp.sum(jax.lax.population_count(mask), axis=1).astype(jnp.int32)
         # tiles culled inside the rect are provably zero-contribution, NOT dropped;
         # the unexamined tail of huge rects stays conservatively counted as dropped
         rect_dropped = jnp.sum(jnp.where(full_count > tmax, full_count - tmax, 0))
@@ -273,7 +308,8 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
     rows = [seg, offsets, jnp.maximum(w, 1),
             prep.tiles_min[:, 0], prep.tiles_min[:, 1], rank]
     if culling:
-        rows.append(jax.lax.bitcast_convert_type(mask, jnp.int32))
+        rows.extend(jax.lax.bitcast_convert_type(mask[:, wd], jnp.int32)
+                    for wd in range(mask_words))
     acc = propagate_to_segments(offsets, jnp.stack(rows, axis=0), budget)
 
     slot = jnp.arange(budget, dtype=jnp.int32)
@@ -281,8 +317,10 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
     g = jnp.clip(acc[0] - 1, 0, n - 1)
     if culling:
         # j-th set bit of the pass mask = this slot's rect position
-        j = _select_bit(jax.lax.bitcast_convert_type(acc[6], jnp.uint32),
-                        jnp.maximum(slot - acc[1], 0))
+        j = _select_bit_words(
+            [jax.lax.bitcast_convert_type(acc[6 + wd], jnp.uint32)
+             for wd in range(mask_words)],
+            jnp.maximum(slot - acc[1], 0))
     else:
         j = slot - acc[1]
     tx = acc[3] + j % acc[2]
@@ -317,14 +355,14 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
                                   method="scan_unrolled").astype(jnp.int32)
 
     num_valid = jnp.minimum(total, budget)
-    dropped = (rect_dropped + jnp.maximum(total - budget, 0)).astype(jnp.int32)
     gauss_offsets = jnp.concatenate([offsets, total[None].astype(jnp.int32)])
     return InstanceBuffer(
         gauss_id=sorted_gid,
         tile_id=sorted_tile,
         tile_start=tile_start,
         num_instances=num_valid.astype(jnp.int32),
-        dropped=dropped,
+        dropped=jnp.maximum(total - budget, 0).astype(jnp.int32),
+        rect_dropped=rect_dropped.astype(jnp.int32),
         presort_slot=sorted_presort,
         gauss_offsets=gauss_offsets,
         max_tiles=tmax,

@@ -134,6 +134,7 @@ def make_depth_sharded_render(mesh: Mesh, settings: RenderSettings,
             "radii": prep.radii,
             "visibility_filter": prep.radii > 0,
             "instances_dropped": jax.lax.psum(inst.dropped, axis),
+            "rect_dropped": jax.lax.psum(inst.rect_dropped, axis),
         }
         if feats is not None:
             result["language_feature_image"] = f_total
@@ -141,7 +142,8 @@ def make_depth_sharded_render(mesh: Mesh, settings: RenderSettings,
 
     rep = P()
     out_specs = {"render": rep, "final_transmittance": rep, "radii": rep,
-                 "visibility_filter": rep, "instances_dropped": rep}
+                 "visibility_filter": rep, "instances_dropped": rep,
+                 "rect_dropped": rep}
     if settings.include_feature:
         out_specs["language_feature_image"] = rep
     mapped = jax.shard_map(shard_fn, mesh=mesh,

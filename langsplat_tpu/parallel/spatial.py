@@ -90,6 +90,7 @@ def band_from_prep(prep, opacity, features, settings: RenderSettings, band_index
     out["radii"] = band_prep.radii
     out["visibility_filter"] = band_prep.radii > 0
     out["instances_dropped"] = inst.dropped
+    out["rect_dropped"] = inst.rect_dropped
     return out
 
 

@@ -42,14 +42,15 @@ def pad_opt_state(opt_state, old_cap: int, new_cap: int):
 
 
 def make_settings(cam, pipe, active_sh_degree: int, include_feature: bool,
-                  capacity: int, budget: int = 0) -> RenderSettings:
+                  capacity: int, budget: int = 0,
+                  max_tiles: int | None = None) -> RenderSettings:
     return RenderSettings(
         image_height=cam.height, image_width=cam.width,
         tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
         sh_degree=active_sh_degree, include_feature=include_feature,
         tile_size=pipe.tile_size, chunk=pipe.chunk,
         budget=budget or pipe.budget_factor * capacity,
-        max_tiles_per_gaussian=pipe.max_tiles_per_gaussian,
+        max_tiles_per_gaussian=max_tiles or pipe.max_tiles_per_gaussian,
         backend="tiled" if pipe.interpret else "pallas",
         interpret=pipe.interpret,
         convert_shs_python=pipe.convert_shs_python,
@@ -70,6 +71,11 @@ class BudgetPolicy:
     recompile) whenever a step reports dropped instances, and cap at
     budget_factor * capacity. Steps that dropped are re-run — the reference
     CUDA rasterizer reallocates and never truncates, so neither do we.
+
+    The second cap, `max_tiles_per_gaussian`, is handled by `TmaxPolicy`: a
+    Gaussian whose clipped tile rect exceeds it reports `rect_dropped` tile
+    positions that NO budget can recover — only a larger tmax (one recompile)
+    fixes those, so the two caps grow independently.
     """
 
     GRANULE = 4096
@@ -107,6 +113,29 @@ class BudgetPolicy:
         if new == self._budget:
             return False
         self._budget = new
+        return True
+
+
+class TmaxPolicy:
+    """Adaptive `max_tiles_per_gaussian`: doubled (one recompile) whenever a
+    step reports `rect_dropped` tile positions, capped at the largest tile grid
+    any camera uses — at that point every clipped rect fits and rect drops are
+    impossible. The reference bins the FULL rect always (duplicateWithKeys has
+    no cap, SURVEY N3), so truncating huge splats would silently diverge from
+    it; tmax above tiles.MAX_CULL_TMAX additionally disables the bitmask cull
+    (correct, just more instances)."""
+
+    def __init__(self, pipe, cameras):
+        self.tmax = pipe.max_tiles_per_gaussian
+        ts = pipe.tile_size
+        self.grid_cap = max((-(-c.width // ts)) * (-(-c.height // ts))
+                            for c in cameras) if cameras else pipe.tile_size ** 2
+
+    def grow(self) -> bool:
+        new = min(self.tmax * 2, self.grid_cap)
+        if new <= self.tmax:
+            return False
+        self.tmax = new
         return True
 
 
@@ -166,11 +195,14 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if mcfg.white_background else [0.0, 0.0, 0.0])
     budget_policy = BudgetPolicy(pipe, field.capacity)
+    tmax_policy = TmaxPolicy(pipe, scene.get_train_cameras()
+                             + scene.get_test_cameras())
     if pipe.adaptive_budget:
         from langsplat_tpu.ops.render import count_instances
         probe_cam = scene.get_train_cameras()[0]
         probe_settings = make_settings(probe_cam, pipe, 0, include_feature,
-                                       field.capacity, budget=BudgetPolicy.GRANULE)
+                                       field.capacity, budget=BudgetPolicy.GRANULE,
+                                       max_tiles=tmax_policy.tmax)
         cnt = int(count_instances(
             field, probe_settings, jnp.asarray(probe_cam.world_view_transform),
             jnp.asarray(probe_cam.full_proj_transform),
@@ -246,7 +278,8 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         timer.start()
         while True:
             settings = make_settings(cam, pipe, active_sh_degree, include_feature,
-                                     field.capacity, budget=budget_policy.budget)
+                                     field.capacity, budget=budget_policy.budget,
+                                     max_tiles=tmax_policy.tmax)
             if include_feature:
                 gt_feat, gt_mask = prefetcher.get(cam)
                 out = tr.train_step_feature(
@@ -259,27 +292,36 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                     jnp.asarray(cam.image), bg,
                     settings=settings, optimizer=optimizer,
                     lambda_dssim=ocfg.lambda_dssim)
-            dropped = int(out.dropped)
-            if dropped == 0:
+            dropped, rect = int(out.dropped), int(out.rect_dropped)
+            if dropped == 0 and rect == 0:
                 break
-            # discard the truncated step's updates and re-run at a larger budget
-            # (the reference's CUDA buffers reallocate instead, resizeFunctional
-            # semantics); field/opt_state/stats are still the pre-step values
-            if not budget_policy.grow(field.capacity):
+            # discard the truncated step's updates and re-run with the failing
+            # cap(s) grown (the reference's CUDA buffers reallocate instead,
+            # resizeFunctional semantics); field/opt_state/stats are still the
+            # pre-step values. rect drops need a larger tmax — no budget can
+            # recover tile positions the binning never examined.
+            grew = False
+            if rect > 0 and tmax_policy.grow():
+                logger.log(f"[iter {iteration}] max_tiles_per_gaussian -> "
+                           f"{tmax_policy.tmax} ({rect} rect positions dropped)")
+                grew = True
+            if dropped > 0 and budget_policy.grow(field.capacity):
+                logger.log(f"[iter {iteration}] instance budget -> "
+                           f"{budget_policy.budget} ({dropped} dropped)")
+                grew = True
+            if not grew:
                 msg = (f"[iter {iteration}] {dropped} instances dropped at the "
-                       f"budget cap {budget_policy.cap(field.capacity)} "
-                       f"(capacity {field.capacity}, budget_factor "
-                       f"{pipe.budget_factor}). The reference rasterizer "
-                       f"reallocates and never truncates; raise "
-                       f"pipeline.budget_factor or pipeline."
-                       f"max_tiles_per_gaussian, or opt into truncation with "
+                       f"budget cap {budget_policy.cap(field.capacity)} and "
+                       f"{rect} rect positions dropped at max_tiles="
+                       f"{tmax_policy.tmax} (capacity {field.capacity}, "
+                       f"budget_factor {pipe.budget_factor}). The reference "
+                       f"rasterizer reallocates and never truncates; raise "
+                       f"pipeline.budget_factor, or opt into truncation with "
                        f"pipeline.allow_budget_truncation.")
                 if not pipe.allow_budget_truncation:
                     raise RuntimeError(msg)
                 logger.log("WARNING (truncated step): " + msg)
                 break
-            logger.log(f"[iter {iteration}] instance budget -> "
-                       f"{budget_policy.budget} ({dropped} dropped)")
         field, opt_state, stats = out.field, out.opt_state, out.stats
         elapsed = timer.stop(out.loss)
 
@@ -334,7 +376,8 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         if iteration in cfg.test_iterations:
             report = evaluate_psnr(field, scene, pipe, active_sh_degree,
                                    include_feature, bg,
-                                   budget=budget_policy.budget)
+                                   budget=budget_policy.budget,
+                                   max_tiles=tmax_policy.tmax)
             for name, (l1v, psnrv) in report.items():
                 logger.log(f"[ITER {iteration}] Evaluating {name}: "
                            f"L1 {l1v:.5f} PSNR {psnrv:.3f}")
@@ -363,34 +406,46 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
 
 
 def render_full(field, cam, pipe, active_sh_degree, include_feature, bg,
-                budget: int = 0):
-    """Render one view, retrying at a doubled instance budget until nothing is
-    dropped (up to the budget cap) — eval/test views can touch more tiles than
-    the training views the adaptive budget was sized for, and the reference
-    never truncates (resizeFunctional semantics)."""
+                budget: int = 0, max_tiles: int = 0):
+    """Render one view, retrying at a doubled instance budget / max_tiles cap
+    until nothing is dropped (up to the budget cap) — eval/test views can touch
+    more tiles than the training views the adaptive budget was sized for, and
+    the reference never truncates (resizeFunctional semantics)."""
     cap = BudgetPolicy(pipe, field.capacity).cap(field.capacity)
     budget = min(budget or cap, cap)
+    tmax_policy = TmaxPolicy(pipe, [cam])
+    if max_tiles:
+        tmax_policy.tmax = min(max_tiles, tmax_policy.grid_cap)
     while True:
         settings = make_settings(cam, pipe, active_sh_degree, include_feature,
-                                 field.capacity, budget=budget)
+                                 field.capacity, budget=budget,
+                                 max_tiles=tmax_policy.tmax)
         r = render(field, settings, jnp.asarray(cam.world_view_transform),
                    jnp.asarray(cam.full_proj_transform),
                    jnp.asarray(cam.camera_center), bg)
         dropped = int(r["instances_dropped"])
-        if dropped == 0:
+        rect = int(r["rect_dropped"])
+        if dropped == 0 and rect == 0:
             return r
-        if budget >= cap:
+        grew = False
+        if rect > 0 and tmax_policy.grow():
+            grew = True
+        if dropped > 0 and budget < cap:
+            budget = min(budget * 2, cap)
+            grew = True
+        if not grew:
             if pipe.allow_budget_truncation:
                 return r
             raise RuntimeError(
                 f"render dropped {dropped} instances at the budget cap {cap} "
+                f"+ {rect} rect positions at max_tiles={tmax_policy.tmax} "
                 f"(capacity {field.capacity}); raise pipeline.budget_factor or "
                 f"opt into truncation with pipeline.allow_budget_truncation")
-        budget = min(budget * 2, cap)
 
 
 def evaluate_psnr(field, scene: Scene, pipe, active_sh_degree, include_feature, bg,
-                  max_train_views: int = 5, budget: int = 0) -> dict:
+                  max_train_views: int = 5, budget: int = 0,
+                  max_tiles: int = 0) -> dict:
     """Test-time PSNR/L1 report (reference training_report, train.py:166-202)."""
     out = {}
     configs = [("test", scene.get_test_cameras()),
@@ -401,7 +456,7 @@ def evaluate_psnr(field, scene: Scene, pipe, active_sh_degree, include_feature, 
         l1s, psnrs = [], []
         for cam in cams:
             r = render_full(field, cam, pipe, active_sh_degree, include_feature,
-                            bg, budget=budget)
+                            bg, budget=budget, max_tiles=max_tiles)
             img = jnp.clip(r["render"], 0, 1)
             gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
             l1s.append(float(loss_lib.l1_loss(img, gt)))

@@ -123,7 +123,8 @@ class StepOutput(NamedTuple):
     loss: jnp.ndarray
     l1: jnp.ndarray
     psnr: jnp.ndarray
-    dropped: jnp.ndarray
+    dropped: jnp.ndarray       # budget-cap overflow (grow the instance budget)
+    rect_dropped: jnp.ndarray  # max_tiles-cap overflow (grow max_tiles_per_gaussian)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "optimizer", "lambda_dssim"))
@@ -153,7 +154,7 @@ def train_step_rgb(field: GaussianField, opt_state, stats: DensifyStats,
     return StepOutput(new_field, opt_state, stats, loss, l1,
                       losses.psnr(jnp.clip(out["render"], 0, 1),
                                   jnp.clip(gt_image, 0, 1)),
-                      out["instances_dropped"])
+                      out["instances_dropped"], out["rect_dropped"])
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "optimizer"))
@@ -175,4 +176,5 @@ def train_step_feature(field: GaussianField, opt_state, stats: DensifyStats,
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return StepOutput(merge_params(field, params), opt_state, stats, loss, loss,
-                      jnp.zeros(()), out["instances_dropped"])
+                      jnp.zeros(()), out["instances_dropped"],
+                      out["rect_dropped"])

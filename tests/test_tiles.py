@@ -185,6 +185,67 @@ def test_culled_binning_exact():
                                np.asarray(dense["final_transmittance"]), atol=2e-5)
 
 
+def test_multiword_cull_exact():
+    """tmax > 32 culling (multi-word uint32 masks): per-tile lists are subsets of
+    the rect binning with every contributing Gaussian kept, and the blended image
+    matches the dense oracle bitwise-closely."""
+    from langsplat_tpu.ops.tiles import instance_counts
+
+    cam = make_camera(w=160, h=128)  # 10x8 grid: rects can exceed 32 tiles
+    means, scales, quats, colors, opac, feats = random_scene(40, seed=7, spread=1.2)
+    scales = scales * 3.0  # big splats -> rects wider than one mask word
+    ts = 16
+    prep = run_preprocess(means, scales, quats, colors, cam, tile_size=ts)
+    gx, gy = 10, 8
+    rects = np.asarray((prep.tiles_max - prep.tiles_min).prod(axis=1)
+                       * prep.visible)
+    assert rects.max() > 32  # the second mask word is actually exercised
+
+    rect = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=16384,
+                         max_tiles_per_gaussian=96)
+    culled = bin_gaussians(prep, grid_x=gx, grid_y=gy, budget=16384,
+                           max_tiles_per_gaussian=96, tile_size=ts,
+                           opacities=jnp.asarray(opac))
+    assert int(culled.dropped) == 0 and int(culled.rect_dropped) == 0
+    assert int(culled.num_instances) < int(rect.num_instances)
+    # the count probe matches the binning's production exactly
+    cnt = instance_counts(prep, tile_size=ts, tmax=96,
+                          opacities=jnp.asarray(opac))
+    assert int(jnp.sum(cnt)) == int(culled.num_instances)
+
+    cs, rs = np.asarray(culled.tile_start), np.asarray(rect.tile_start)
+    cgid, rgid = np.asarray(culled.gauss_id), np.asarray(rect.gauss_id)
+    for t in range(gx * gy):
+        got = list(cgid[cs[t]:cs[t + 1]])
+        ref = list(rgid[rs[t]:rs[t + 1]])
+        assert [i for i in ref if i in set(got)] == got  # subset, same order
+
+    bg = jnp.array([0.1, 0.5, 0.8])
+    dense = rasterize_dense(prep, jnp.asarray(opac), jnp.asarray(feats), bg,
+                            image_height=128, image_width=160, tile_size=ts)
+    tiled = rasterize_tiled(prep, culled, jnp.asarray(opac), jnp.asarray(feats),
+                            bg, image_height=128, image_width=160, tile_size=ts,
+                            max_per_tile=64)
+    np.testing.assert_allclose(np.asarray(tiled["render"]),
+                               np.asarray(dense["render"]), atol=2e-5)
+
+
+def test_drop_split_budget_vs_rect():
+    """`dropped` counts only budget overflow; `rect_dropped` only max_tiles
+    overflow — the training loop grows different caps for each."""
+    cam = make_camera(w=64, h=64)
+    means, scales, quats, colors, opac, feats = random_scene(80, seed=2)
+    prep = run_preprocess(means, scales, quats, colors, cam, tile_size=16)
+    # tiny budget, huge tmax: pure budget overflow
+    b = bin_gaussians(prep, grid_x=4, grid_y=4, budget=8,
+                      max_tiles_per_gaussian=64)
+    assert int(b.dropped) > 0 and int(b.rect_dropped) == 0
+    # huge budget, tiny tmax: pure rect overflow
+    r = bin_gaussians(prep, grid_x=4, grid_y=4, budget=8192,
+                      max_tiles_per_gaussian=2)
+    assert int(r.dropped) == 0 and int(r.rect_dropped) > 0
+
+
 def test_cull_huge_rect_fallback_and_zero_opacity():
     """Rects larger than tmax candidate positions fall back to no-culling (first
     tmax tiles bin, tail reported dropped); near-zero opacities cull everything."""
@@ -210,4 +271,4 @@ def test_cull_huge_rect_fallback_and_zero_opacity():
     assert int(cnt0[0]) == 0
     mask0 = tile_pass_mask(prep, tile_size=16, tmax=8,
                            opacities=jnp.asarray(np.array([1e-9], np.float32)))
-    assert int(mask0[0]) == 0
+    assert int(mask0.sum()) == 0
