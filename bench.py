@@ -166,6 +166,10 @@ def main():
         "value": round(pixels_per_s, 1),
         "unit": "pixels/s",
         "vs_baseline": round(vs, 3),
+        # the reference publishes no throughput number (BASELINE.json
+        # `published: {}`): the ratio is against this framework's own first
+        # recorded value, not a reference-derived baseline
+        "baseline_kind": "first_recorded_self_baseline",
     }))
 
 

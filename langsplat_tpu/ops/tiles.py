@@ -280,7 +280,23 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
         count = jnp.sum(jax.lax.population_count(mask), axis=1).astype(jnp.int32)
         # tiles culled inside the rect are provably zero-contribution, NOT dropped;
         # the unexamined tail of huge rects stays conservatively counted as dropped
-        rect_dropped = jnp.sum(jnp.where(full_count > tmax, full_count - tmax, 0))
+        # — EXCEPT for Gaussians whose opacity is below ALPHA_EPS (any_alpha false
+        # in tile_pass_mask: alpha <= opa < eps everywhere since Q >= 0, mask is
+        # all-zero, contribution provably zero). Counting their tail would let one
+        # near-dead huge splat ratchet TmaxPolicy toward the grid cap through
+        # discarded steps/recompiles for nothing.
+        if opacities is not None:
+            from langsplat_tpu.ops.rasterize_reference import ALPHA_EPS
+            import math
+            # identical predicate to tile_pass_mask's any_alpha (same formula, so
+            # the two stay bitwise consistent at the threshold)
+            lam0 = -math.log(ALPHA_EPS) + jnp.log(
+                jnp.maximum(opacities.reshape(-1), 1e-12))
+            any_alpha = lam0 >= 0.0
+        else:
+            any_alpha = jnp.ones((n,), bool)
+        rect_dropped = jnp.sum(
+            jnp.where((full_count > tmax) & any_alpha, full_count - tmax, 0))
     else:
         count = jnp.minimum(full_count, tmax)
         rect_dropped = jnp.sum(full_count - count)

@@ -140,6 +140,10 @@ def make_spatial_render(mesh: Mesh, settings: RenderSettings, axis: str = "tiles
         if settings.include_feature:
             result["language_feature_image"] = out["language_feature_image"]
         result["final_transmittance"] = out["final_transmittance"]
+        # surface the truncation counters (summed over bands) so callers can run
+        # the same grow-and-retry policy as the single-device render_full path
+        result["instances_dropped"] = jax.lax.psum(out["instances_dropped"], axis)
+        result["rect_dropped"] = jax.lax.psum(out["rect_dropped"], axis)
         return result
 
     rep = P()
@@ -149,7 +153,8 @@ def make_spatial_render(mesh: Mesh, settings: RenderSettings, axis: str = "tiles
         out_specs={"render": P(None, axis, None),
                    **({"language_feature_image": P(None, axis, None)}
                       if settings.include_feature else {}),
-                   "final_transmittance": P(axis, None)},
+                   "final_transmittance": P(axis, None),
+                   "instances_dropped": P(), "rect_dropped": P()},
         check_vma=False,
     )
 

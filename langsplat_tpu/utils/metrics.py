@@ -49,7 +49,9 @@ class LPIPS:
     `/root/reference/lpipsPyTorch/modules/lpips.py:8-36`.
     """
 
-    def __init__(self, net_type: str = "alex", weights_dir: str | None = None):
+    def __init__(self, net_type: str = "alex", weights_dir: str | None = None,
+                 allow_uniform_lin: bool = False):
+        self.allow_uniform_lin = allow_uniform_lin
         import torch
         try:
             import torchvision.models as tvm
@@ -102,5 +104,20 @@ class LPIPS:
     def __call__(self, img_a: np.ndarray, img_b: np.ndarray) -> float:
         fa = self.extract(img_a)
         fb = self.extract(img_b)
-        lin = self.lin or [jnp.ones(f.shape[0]) / f.shape[0] for f in fa]
+        lin = self.lin
+        if lin is None:
+            # uniform lin weights are NOT LPIPS (the metric is defined by the
+            # richzhang-trained per-channel weights,
+            # /root/reference/lpipsPyTorch/modules/networks.py:12-96); never
+            # return a plausible-looking but wrong number silently
+            if not self.allow_uniform_lin:
+                raise RuntimeError(
+                    "no lin weights loaded (pass weights_dir with the richzhang "
+                    ".pth or an npz); uniform weights are not LPIPS — opt in "
+                    "explicitly with allow_uniform_lin=True if you want the "
+                    "unweighted feature distance")
+            import warnings
+            warnings.warn("LPIPS running with UNIFORM lin weights — this is the "
+                          "unweighted feature distance, not LPIPS", stacklevel=2)
+            lin = [jnp.ones(f.shape[0]) / f.shape[0] for f in fa]
         return float(lpips_distance(fa, fb, lin))
