@@ -160,8 +160,16 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
                      grad_precision=grad_precision)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _gather_attrs(budget: int, grad_rows: tuple, attrs, gid, poa, gauss_offsets):
+#: default reduction for the packing-gather backward: "segsum" (Pallas
+#: double-buffered masked-matmul segment sum, ~4x the gather formulation at
+#: bench sizes — scripts/micro_segsum.py) or "gather" (lane cumsum + one
+#: boundary gather). Overridable per-process for A/B comparison.
+BWD_REDUCE = __import__("os").environ.get("LANGSPLAT_BWD_REDUCE", "segsum")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gather_attrs(budget: int, grad_rows: tuple, reduce_cfg: tuple,
+                  attrs, gid, poa, gauss_offsets):
     """attrs [rows, N+1] -> packed [rows, aligned_budget] by column gather.
 
     `poa` [aligned] maps each aligned slot to its pre-sort (gaussian-major) slot
@@ -172,23 +180,29 @@ def _gather_attrs(budget: int, grad_rows: tuple, attrs, gid, poa, gauss_offsets)
     locality-independent — scripts/micro_gather_locality.py), while a single-key
     u32 sort carrying all 12 gradient rows as payloads costs ~22 ms. So the
     backward sorts the cotangent columns by `poa` into pre-sort order, where each
-    Gaussian's instances are contiguous, then reduces segments with one cumsum and
-    one boundary gather + adjacent diff — deterministic and ~4x cheaper than the
-    scatter formulation.
+    Gaussian's instances are contiguous, then reduces segments either with the
+    Pallas `segment_sum_bounded` kernel (reduce_cfg=("segsum", interpret), the
+    default — streams each block's contiguous short-segment span by DMA and
+    contracts a one-hot membership mask on the MXU, ~4x the gather formulation
+    at bench sizes) or with one cumsum + one boundary gather + adjacent diff
+    (reduce_cfg=("gather", ...)). Both are deterministic and exactly equal
+    (tests/test_pallas_blend.py::test_segsum_backward_matches_gather).
     """
-    del budget, grad_rows, poa, gauss_offsets
+    del budget, grad_rows, reduce_cfg, poa, gauss_offsets
     return attrs[:, gid]
 
 
-def _gather_attrs_fwd(budget, grad_rows, attrs, gid, poa, gauss_offsets):
+def _gather_attrs_fwd(budget, grad_rows, reduce_cfg, attrs, gid, poa,
+                      gauss_offsets):
     return attrs[:, gid], (poa, gauss_offsets, attrs.shape)
 
 
-def _gather_attrs_bwd(budget, grad_rows, res, g):
+def _gather_attrs_bwd(budget, grad_rows, reduce_cfg, res, g):
     import numpy as _np
     poa, gauss_offsets, attrs_shape = res
     rows, n1 = attrs_shape
     r0, rn = grad_rows            # static: only these cotangent rows are nonzero
+    reduce_mode, interpret = reduce_cfg
     # permute-by-sort: real instances carry keys 0..total-1; zero-opacity padding
     # instances carry key=budget and alignment holes key=aligned, so positions
     # [total, budget) of the sorted result hold only all-zero gradient columns
@@ -197,14 +211,20 @@ def _gather_attrs_bwd(budget, grad_rows, res, g):
         (poa,) + tuple(g[i] for i in range(r0, r0 + rn)),
         num_keys=1, is_stable=False)
     d_pre = jnp.stack(sorted_out[1:], axis=0)[:, :budget]  # [rn, budget] presort
-    csum = jnp.concatenate([jnp.zeros((rn, 1), g.dtype),
-                            jnp.cumsum(d_pre, axis=1)], axis=1)
     ends = jnp.clip(gauss_offsets, 0, budget)
-    # ONE boundary gather (N+1 indices), then adjacent-column diff: gathers cost
-    # ~20 ns per index on v5e regardless of layout, so gathering ends[1:] and
-    # ends[:-1] separately (2N indices) doubles the dominant cost for no reason
-    c_at = csum[:, ends]                                   # [rn, N + 1]
-    seg = c_at[:, 1:] - c_at[:, :-1]                       # [rn, N]
+    if reduce_mode == "segsum":
+        from langsplat_tpu.ops.segsum_pallas import segment_sum_bounded
+        seg = segment_sum_bounded(d_pre.astype(jnp.float32), ends, n1 - 1,
+                                  interpret=interpret).astype(g.dtype)
+    else:
+        csum = jnp.concatenate([jnp.zeros((rn, 1), g.dtype),
+                                jnp.cumsum(d_pre, axis=1)], axis=1)
+        # ONE boundary gather (N+1 indices), then adjacent-column diff: gathers
+        # cost ~20 ns per index on v5e regardless of layout, so gathering
+        # ends[1:] and ends[:-1] separately (2N indices) doubles the dominant
+        # cost for no reason
+        c_at = csum[:, ends]                               # [rn, N + 1]
+        seg = c_at[:, 1:] - c_at[:, :-1]                   # [rn, N]
     seg = jnp.concatenate([seg, jnp.zeros((rn, 1), g.dtype)], axis=1)
     if (r0, rn) == (0, rows):
         d_attrs = seg
@@ -225,7 +245,9 @@ _gather_attrs.defvjp(_gather_attrs_fwd, _gather_attrs_bwd)
 def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
                    features: jnp.ndarray | None, inst: InstanceBuffer,
                    spec: BlendSpec,
-                   means2d_override: jnp.ndarray | None = None
+                   means2d_override: jnp.ndarray | None = None,
+                   interpret: bool = False,
+                   bwd_reduce: str | None = None
                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gather per-Gaussian attributes into the chunk-aligned per-instance matrix.
 
@@ -276,7 +298,8 @@ def pack_instances(prep: PreprocessOut, opacities: jnp.ndarray,
     attrs = jnp.concatenate([attrs, jnp.zeros((d, 1), attrs.dtype)], axis=1)
     grad_rows = ((D_BASE, spec.num_feat) if spec.grad_mode == "feature"
                  else (0, d))
-    packed = _gather_attrs(budget, grad_rows, attrs,
+    reduce_cfg = (bwd_reduce or BWD_REDUCE, interpret)
+    packed = _gather_attrs(budget, grad_rows, reduce_cfg, attrs,
                            jax.lax.stop_gradient(gid),
                            jax.lax.stop_gradient(poa),
                            jax.lax.stop_gradient(inst.gauss_offsets))
@@ -940,6 +963,7 @@ def rasterize_pallas(
     align: int | None = None,
     grad_mode: str = "full",
     grad_precision: str = "exact",
+    bwd_reduce: str | None = None,
 ) -> dict:
     """Full Pallas rasterization: pack -> blend -> assemble. Differentiable."""
     num_feat = 0 if features is None else features.shape[1]
@@ -949,7 +973,8 @@ def rasterize_pallas(
                            fwd_mult=fwd_mult, align=align, grad_mode=grad_mode,
                            grad_precision=grad_precision)
     packed, p_off = pack_instances(prep, opacities, features, inst, spec,
-                                   means2d_override=means2d_override)
+                                   means2d_override=means2d_override,
+                                   interpret=interpret, bwd_reduce=bwd_reduce)
     counts = inst.tile_start[1:] - inst.tile_start[:-1]
     sched = jnp.concatenate([p_off, counts])
     tiles = blend_tiles(packed, jax.lax.stop_gradient(sched), spec, interpret)

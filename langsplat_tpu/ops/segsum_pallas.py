@@ -97,6 +97,12 @@ def segment_sum_bounded(d_pre: jnp.ndarray, ends: jnp.ndarray, n_out: int, *,
     max_tiles_per_gaussian cap it is bounded by tmax * block_out).
     """
     rows, width = d_pre.shape
+    # sublane-align the row axis: Mosaic cannot DMA-slice a non-8-multiple
+    # sublane extent at a dynamic lane offset (phase A's RGB-only backward has
+    # 9 gradient rows); the MXU pads M to a tile anyway, so the pad is free
+    rpad = -(-rows // 8) * 8
+    if rpad > rows:
+        d_pre = jnp.pad(d_pre, ((0, rpad - rows), (0, 0)))
     o, bj = block_out, block_in
     grid = max(-(-n_out // o), 1)
     npad = grid * o
@@ -125,16 +131,16 @@ def segment_sum_bounded(d_pre: jnp.ndarray, ends: jnp.ndarray, n_out: int, *,
             pl.BlockSpec((1, 1, o), lambda k, s: (k, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((rows, o), lambda k, s: (0, k)),
+        out_specs=pl.BlockSpec((rpad, o), lambda k, s: (0, k)),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, bj), jnp.float32),
+            pltpu.VMEM((2, rpad, bj), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_kernel, bj, o),
-        out_shape=jax.ShapeDtypeStruct((rows, npad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rpad, npad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(scalars, lo2d, hi2d, d_pre)
-    return out[:, :n_out]
+    return out[:rows, :n_out]

@@ -246,3 +246,63 @@ def test_grad_precision_bf16_plumbing():
     lb, gb = jax.value_and_grad(loss("bf16"))(oa)
     np.testing.assert_allclose(float(lb), float(le), rtol=1e-7)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ge), atol=1e-7)
+
+
+def test_segment_sum_bounded_matches_numpy():
+    """segment_sum_bounded (interpret) vs np.add.reduceat on random bounded
+    segments, including empty segments, a zero-width tail, and n_out not a
+    multiple of the output block."""
+    from langsplat_tpu.ops.segsum_pallas import segment_sum_bounded
+
+    rng = np.random.default_rng(11)
+    for n_out, max_len, rows in ((700, 7, 12), (513, 1, 3), (64, 32, 8)):
+        lens = rng.integers(0, max_len + 1, n_out)
+        lens[rng.uniform(size=n_out) < 0.3] = 0          # empty segments
+        ends = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        width = int(ends[-1])
+        d = rng.normal(size=(rows, max(width, 1))).astype(np.float32)[:, :width]
+        out = segment_sum_bounded(jnp.asarray(d if width else
+                                              np.zeros((rows, 0), np.float32)),
+                                  jnp.asarray(ends), n_out, interpret=True,
+                                  block_in=128, block_out=256)
+        expect = np.zeros((rows, n_out), np.float32)
+        for g in range(n_out):
+            expect[:, g] = d[:, ends[g]:ends[g + 1]].sum(axis=1)
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+
+def test_segsum_backward_matches_gather():
+    """The wired-in segsum reduction must produce the same packing-gather
+    backward as the cumsum + boundary-gather formulation, through the full
+    pallas blend VJP (both grad modes)."""
+    w = h = 32
+    ts = 16
+    cam = make_camera(w=w, h=h)
+    means, scales, quats, colors, opac, feats = random_scene(60, seed=23, spread=1.0)
+    bg = jnp.array([0.2, 0.4, 0.6])
+
+    def loss(reduce_mode, grad_mode):
+        def f(o, c, ft):
+            prep = projection.preprocess(
+                jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), None,
+                cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+                image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+                tanfovy=cam["tanfovy"], sh_degree=0, tile_size=ts,
+                colors_precomp=c)
+            inst = bin_gaussians(prep, grid_x=2, grid_y=2, budget=2048,
+                                 max_tiles_per_gaussian=16)
+            out = rasterize_pallas(prep, inst, o, ft, bg,
+                                   image_height=h, image_width=w, tile_size=ts,
+                                   chunk=32, interpret=True,
+                                   grad_mode=grad_mode, bwd_reduce=reduce_mode)
+            return (jnp.mean(out["render"] ** 2)
+                    + jnp.mean(out["language_feature_image"] ** 2))
+        return f
+
+    args = (jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(feats))
+    for grad_mode, argnums in (("full", (0, 1, 2)), ("feature", (2,))):
+        gs = jax.grad(loss("segsum", grad_mode), argnums=argnums)(*args)
+        gg = jax.grad(loss("gather", grad_mode), argnums=argnums)(*args)
+        for a, b in zip(gs, gg):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)
