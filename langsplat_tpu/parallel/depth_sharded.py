@@ -38,15 +38,11 @@ from langsplat_tpu.ops.rasterize_pallas import rasterize_pallas
 from langsplat_tpu.ops.rasterize_tiled import rasterize_tiled
 
 
-def make_depth_sharded_render(mesh: Mesh, settings: RenderSettings,
-                              axis: str = "depth"):
-    """Jitted full render with the depth axis sharded over `axis`.
-
-    Returns fn(field, viewmatrix, projmatrix, campos, bg) -> dict with `render`,
-    `language_feature_image` (when settings.include_feature),
-    `final_transmittance`, `radii`, `visibility_filter`, `instances_dropped` —
-    the same contract as ops.render.render, replicated on every device.
-    """
+def _make_mapped_render(mesh: Mesh, settings: RenderSettings,
+                        axis: str = "depth"):
+    """The shard_map'd (un-jitted) depth-sharded render — differentiable, so it
+    can be embedded inside a larger jitted loss/train-step. See
+    make_depth_sharded_render for the contract."""
     n_chunks = mesh.shape[axis]
 
     def shard_fn(field, viewmatrix, projmatrix, campos, bg):
@@ -65,9 +61,13 @@ def make_depth_sharded_render(mesh: Mesh, settings: RenderSettings,
             sh_degree=settings.sh_degree, tile_size=settings.tile_size,
             scale_modifier=settings.scale_modifier, alive=field.alive)
 
-        # global depth ranks, identical tie-break to tiles.bin_gaussians
+        # global depth ranks, identical tie-break to tiles.bin_gaussians;
+        # pure index bookkeeping — no gradient flows through the ranking
+        # (the sorted float keys are discarded), but stop_gradient makes
+        # that explicit and keeps the backward free of sort transposes
         n = cap
-        depth_keys = jnp.where(prep.visible, prep.depths, jnp.inf)
+        depth_keys = jax.lax.stop_gradient(
+            jnp.where(prep.visible, prep.depths, jnp.inf))
         _, by_depth = jax.lax.sort((depth_keys, jnp.arange(n, dtype=jnp.int32)),
                                    num_keys=1, is_stable=True)
         _, rank = jax.lax.sort((by_depth, jnp.arange(n, dtype=jnp.int32)),
@@ -83,10 +83,12 @@ def make_depth_sharded_render(mesh: Mesh, settings: RenderSettings,
             feats = lf / (norm + 1e-9)
 
         inst = bin_gaussians(
-            prep_d, grid_x=settings.grid_x, grid_y=settings.grid_y,
+            jax.tree.map(jax.lax.stop_gradient, prep_d),
+            grid_x=settings.grid_x, grid_y=settings.grid_y,
             budget=budget,
             max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
-            tile_size=settings.tile_size, opacities=opac)
+            tile_size=settings.tile_size,
+            opacities=jax.lax.stop_gradient(opac))
         zero_bg = jnp.zeros_like(bg)
         if settings.backend == "tiled":
             out = rasterize_tiled(
@@ -146,7 +148,100 @@ def make_depth_sharded_render(mesh: Mesh, settings: RenderSettings,
                  "rect_dropped": rep}
     if settings.include_feature:
         out_specs["language_feature_image"] = rep
-    mapped = jax.shard_map(shard_fn, mesh=mesh,
-                           in_specs=(rep, rep, rep, rep, rep),
-                           out_specs=out_specs, check_vma=False)
-    return jax.jit(mapped)
+    return jax.shard_map(shard_fn, mesh=mesh,
+                         in_specs=(rep, rep, rep, rep, rep),
+                         out_specs=out_specs, check_vma=False)
+
+
+def make_depth_sharded_render(mesh: Mesh, settings: RenderSettings,
+                              axis: str = "depth"):
+    """Jitted full render with the depth axis sharded over `axis`.
+
+    Returns fn(field, viewmatrix, projmatrix, campos, bg) -> dict with `render`,
+    `language_feature_image` (when settings.include_feature),
+    `final_transmittance`, `radii`, `visibility_filter`, `instances_dropped` —
+    the same contract as ops.render.render, replicated on every device.
+    Differentiable: gradients flow through the per-shard blend, the all_gather,
+    and the scan composition back to every field parameter (the all_gather /
+    replicated-input transposes become the parameter psum).
+    """
+    return jax.jit(_make_mapped_render(mesh, settings, axis))
+
+
+def depth_sharded_render_full(mesh: Mesh, settings: RenderSettings, field,
+                              viewmatrix, projmatrix, campos, bg,
+                              axis: str = "depth", budget_cap_factor: int = 10):
+    """Render one view on the depth mesh, retrying with grown per-shard budget /
+    max_tiles caps until nothing is dropped — the depth-mesh analog of
+    train.loop.render_full (the reference CUDA rasterizer reallocates and never
+    truncates). Depth-rank intervals equalize *Gaussian* counts per shard, not
+    *instance* counts, so a shard holding large splats can overflow while others
+    idle; growth is geometric and recompiles once per new (budget, tmax).
+    """
+    import dataclasses
+
+    cap = field.xyz.shape[0]
+    budget = settings.budget or 6 * cap
+    budget_cap = budget_cap_factor * cap
+    n_chunks = mesh.shape[axis]
+    tmax = settings.max_tiles_per_gaussian
+    grid_cap = settings.grid_x * settings.grid_y
+    while True:
+        s = dataclasses.replace(settings, budget=budget,
+                                max_tiles_per_gaussian=tmax)
+        out = make_depth_sharded_render(mesh, s, axis)(
+            field, viewmatrix, projmatrix, campos, bg)
+        dropped, rect = int(out["instances_dropped"]), int(out["rect_dropped"])
+        if dropped == 0 and rect == 0:
+            return out
+        grew = False
+        if rect > 0 and tmax < grid_cap:
+            tmax = min(tmax * 2, grid_cap)
+            grew = True
+        if dropped > 0 and budget < budget_cap:
+            # per-shard budget is budget // n_chunks: grow by at least one
+            # shard quantum so the retry actually changes the compiled shape
+            budget = min(max(int(budget * 1.5), budget + n_chunks), budget_cap)
+            grew = True
+        if not grew:
+            raise RuntimeError(
+                f"depth-sharded render dropped {dropped} instances at budget "
+                f"cap {budget_cap} + {rect} rect positions at max_tiles="
+                f"{tmax}; raise budget_cap_factor")
+
+
+def make_depth_sharded_feature_step(mesh: Mesh, settings: RenderSettings,
+                                    optimizer, axis: str = "depth"):
+    """Jitted phase-B train step over the depth mesh: masked feature L1 with
+    geometry frozen (`/root/reference/train.py:96-99`), gradients flowing
+    through the all_gather/scan composition — the ring analog as a TRAINING
+    path for scenes whose instance stream exceeds one chip (SURVEY §5
+    long-context). Same step semantics as trainer.train_step_feature; returns
+    (field, opt_state, loss, instances_dropped, rect_dropped) so callers can
+    apply the usual grow-and-retry policy on truncation.
+    """
+    from langsplat_tpu.core import losses
+    from langsplat_tpu.train import trainer as tr
+    import optax
+
+    mapped = _make_mapped_render(mesh, settings, axis)
+
+    @jax.jit
+    def step(field, opt_state, viewmatrix, projmatrix, campos,
+             gt_feature, feature_mask, bg):
+        params = tr.extract_params(field, include_feature=True)
+
+        def loss_fn(p):
+            f = tr.merge_params(field, p)
+            out = mapped(f, viewmatrix, projmatrix, campos, bg)
+            l1 = losses.masked_l1_loss(out["language_feature_image"],
+                                       gt_feature, feature_mask)
+            return l1, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (tr.merge_params(field, params), new_opt_state, loss,
+                out["instances_dropped"], out["rect_dropped"])
+
+    return step

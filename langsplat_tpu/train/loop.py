@@ -377,12 +377,20 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
             report = evaluate_psnr(field, scene, pipe, active_sh_degree,
                                    include_feature, bg,
                                    budget=budget_policy.budget,
-                                   max_tiles=tmax_policy.tmax)
-            for name, (l1v, psnrv) in report.items():
+                                   max_tiles=tmax_policy.tmax,
+                                   lf_path=mcfg.lf_path if include_feature else None,
+                                   feature_level=mcfg.feature_level)
+            for name, rep in report.items():
+                l1v, psnrv = rep["l1"], rep["psnr"]
                 logger.log(f"[ITER {iteration}] Evaluating {name}: "
                            f"L1 {l1v:.5f} PSNR {psnrv:.3f}")
                 logger.scalar(f"{name}/loss_viewpoint - l1_loss", l1v, iteration)
                 logger.scalar(f"{name}/loss_viewpoint - psnr", psnrv, iteration)
+                if rep.get("feature_l1") is not None:
+                    logger.log(f"[ITER {iteration}] Evaluating {name}: "
+                               f"feature-L1 {rep['feature_l1']:.5f}")
+                    logger.scalar(f"{name}/loss_viewpoint - feature_l1",
+                                  rep["feature_l1"], iteration)
 
         if iteration in cfg.save_iterations and mcfg.model_path:
             logger.log(f"[ITER {iteration}] Saving Gaussians")
@@ -445,15 +453,23 @@ def render_full(field, cam, pipe, active_sh_degree, include_feature, bg,
 
 def evaluate_psnr(field, scene: Scene, pipe, active_sh_degree, include_feature, bg,
                   max_train_views: int = 5, budget: int = 0,
-                  max_tiles: int = 0) -> dict:
-    """Test-time PSNR/L1 report (reference training_report, train.py:166-202)."""
+                  max_tiles: int = 0, lf_path: str | None = None,
+                  feature_level: int = 0) -> dict:
+    """Test-time PSNR/L1 report (reference training_report, train.py:166-202).
+
+    RGB L1/PSNR always (reference parity); in the feature phase, when `lf_path`
+    is given, additionally the masked feature-channel L1 — the number that
+    actually tracks phase-B progress (the RGB report is constant there because
+    geometry is frozen). GT comes from `Camera.get_language_feature`, the same
+    contract the train step optimizes against (reference train.py:96-99).
+    """
     out = {}
     configs = [("test", scene.get_test_cameras()),
                ("train", scene.get_train_cameras()[:max_train_views])]
     for name, cams in configs:
         if not cams:
             continue
-        l1s, psnrs = [], []
+        l1s, psnrs, feat_l1s = [], [], []
         for cam in cams:
             r = render_full(field, cam, pipe, active_sh_degree, include_feature,
                             bg, budget=budget, max_tiles=max_tiles)
@@ -461,5 +477,11 @@ def evaluate_psnr(field, scene: Scene, pipe, active_sh_degree, include_feature, 
             gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
             l1s.append(float(loss_lib.l1_loss(img, gt)))
             psnrs.append(float(loss_lib.psnr(img, gt)))
-        out[name] = (float(np.mean(l1s)), float(np.mean(psnrs)))
+            if include_feature and lf_path:
+                gt_feat, gt_mask = cam.get_language_feature(lf_path, feature_level)
+                feat_l1s.append(float(loss_lib.masked_l1_loss(
+                    r["language_feature_image"], jnp.asarray(gt_feat),
+                    jnp.asarray(gt_mask))))
+        out[name] = {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs)),
+                     "feature_l1": float(np.mean(feat_l1s)) if feat_l1s else None}
     return out

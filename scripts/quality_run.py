@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Mid-scale end-to-end QUALITY run on the chip -> QUALITY_r02.json.
+"""Mid-scale end-to-end QUALITY run on the chip -> QUALITY_r03.json.
 
 Exercises the exact process.sh pipeline shape (reference `process.sh` +
 `eval/eval.sh`) on a procedurally generated mid-scale scene with known semantics:
@@ -11,6 +11,8 @@ Exercises the exact process.sh pipeline shape (reference `process.sh` +
            SfM-like init).
   ae       scene-wise autoencoder 512->3 on the per-mask feature tables
            (autoencoder_cli train + test, reference autoencoder/train.py).
+  oracle   eval protocol on AE-encoded GT feature maps (no training/rendering):
+           the mIoU ceiling the trained field can approach.
   phaseA   RGB 3DGS with densification/opacity resets (train_cli, --eval split);
            the PSNR curve is parsed from the loop's test-iteration reports.
   phaseB   language features at levels 1..3 from the phase-A checkpoint.
@@ -498,6 +500,72 @@ def stage_eval(ws):
     print("eval:", res)
 
 
+def stage_oracle(ws):
+    """Eval-path sanity ceiling: run the LERF IoU/loc protocol on GT feature
+    maps (the scene's own 512-d per-pixel features AE-encoded to 3-d), skipping
+    training and rendering entirely. The resulting mIoU is the ceiling the
+    trained field can approach — it isolates AE compression + eval protocol
+    from field quality. Writes eval_oracle.json (the ~0.76 number cited in the
+    parameter comments above, now reproducible as a stage)."""
+    import jax
+    import jax.numpy as jnp
+    from langsplat_tpu.cli.autoencoder_cli import load_ae_checkpoint
+    from langsplat_tpu.cli.eval_cli import main as eval_main
+    from langsplat_tpu.models.autoencoder import init_autoencoder
+
+    root = ws_path(ws, "scene")
+    lf_dir = os.path.join(root, "language_features")
+    ae_ckpt = ws_path(ws, "ckpt", P.scene, "best_ckpt.npz")
+    model, variables = init_autoencoder(jax.random.key(0),
+                                        [256, 128, 64, 32, 3],
+                                        [16, 32, 64, 128, 256, 256, 512])
+    variables = load_ae_checkpoint(ae_ckpt, variables)
+
+    @jax.jit
+    def encode(x):
+        return model.apply(variables, x, train=False, method="encode")
+
+    # annotated frame indices are TRAIN-SPLIT positions (stage_scene writes
+    # label/frame_{tp+1:05d}.json for split position tp); eval indexes the
+    # sorted renders_npy list by that position, so every position up to the
+    # max must exist — unannotated ones are zeros (never read)
+    train_positions = [i for i in range(P.n_cams) if i % 8 != 0]
+    annotated = set()
+    for jp in glob.glob(ws_path(ws, "label", P.scene, "frame_*.json")):
+        annotated.add(int(os.path.basename(jp)[6:11]) - 1)
+
+    for lvl in (1, 2, 3):
+        out_dir = ws_path(ws, "eval_oracle", "output", f"{P.scene}_{lvl}",
+                          "train", "ours_None", "renders_npy")
+        os.makedirs(out_dir, exist_ok=True)
+        for tp in range(len(train_positions)):
+            path = os.path.join(out_dir, f"{tp:05d}.npy")
+            if tp not in annotated:
+                np.save(path, np.zeros((P.height, P.width, 3), np.float16))
+                continue
+            name = f"frame_{train_positions[tp] + 1:05d}"
+            seg4 = np.load(os.path.join(lf_dir, name + "_s.npy"))
+            table = np.load(os.path.join(lf_dir, name + "_f.npy")).astype(
+                np.float32)
+            codes = np.asarray(encode(jnp.asarray(table)))   # [M, 3]
+            seg = seg4[lvl].astype(np.int64)
+            feat3 = codes[np.clip(seg, 0, len(codes) - 1)]
+            feat3[seg < 0] = 0.0
+            np.save(path, feat3.astype(np.float16))          # [H, W, 3]
+
+    res = eval_main(["--dataset_name", P.scene,
+                     "--feat_dir", ws_path(ws, "eval_oracle", "output"),
+                     "--ae_ckpt_dir", ws_path(ws, "ckpt"),
+                     "--json_folder", ws_path(ws, "label"),
+                     "--output_dir", ws_path(ws, "eval_oracle", "result"),
+                     "--no_vis",
+                     "--text_embeddings", ws_path(ws, "text_embeddings.npz")])
+    with open(ws_path(ws, "eval_oracle.json"), "w") as fh:
+        json.dump({"miou": res["miou"],
+                   "localization_acc": res["localization_acc"]}, fh)
+    print("eval oracle:", res["miou"], res["localization_acc"])
+
+
 def stage_report(ws, out_path):
     # PSNR curve from the phase-A log
     curve = []
@@ -521,17 +589,29 @@ def stage_report(ws, out_path):
         psnrs.append(-10 * np.log10(max(mse, 1e-12)))
     with open(ws_path(ws, "eval_result.json")) as fh:
         ev = json.load(fh)
-    # feature-phase final L1 per level (from the loop's test reports)
+    # feature-phase final masked feature-channel L1 per level, from the loop's
+    # feature-L1 test lines (loop.evaluate_psnr's include_feature branch) — the
+    # RGB "L1" lines are constant in phase B (geometry frozen) and must NOT be
+    # reported as feature numbers
+    fpat = re.compile(r"\[ITER (\d+)\] Evaluating (\w+): feature-L1 "
+                      r"([\d.eE+-]+)")
     feat_l1 = {}
     for lvl in (1, 2, 3):
         try:
             with open(ws_path(ws, f"phaseB_{lvl}.log")) as fh:
                 vals = [float(m.group(3)) for m in
-                        (pat.search(x) for x in fh) if m and m.group(2) == "test"]
+                        (fpat.search(x) for x in fh)
+                        if m and m.group(2) == "test"]
             if vals:
                 feat_l1[str(lvl)] = vals[-1]
         except FileNotFoundError:
             pass
+    oracle = None
+    try:
+        with open(ws_path(ws, "eval_oracle.json")) as fh:
+            oracle = json.load(fh)
+    except FileNotFoundError:
+        pass
     ply = ws_path(ws, "output", f"{P.scene}_-1", "point_cloud",
                   f"iteration_{P.iters_a}", "point_cloud.ply")
     n_final = None
@@ -549,8 +629,9 @@ def stage_report(ws, out_path):
         "phase_a": {"iterations": P.iters_a, "psnr_curve": curve,
                     "final_test_psnr_mean": float(np.mean(psnrs)) if psnrs else None,
                     "final_test_psnr_per_view": [round(p, 3) for p in psnrs]},
-        "phase_b": {"iterations": P.iters_b, "final_test_l1": feat_l1},
+        "phase_b": {"iterations": P.iters_b, "final_test_feature_l1": feat_l1},
         "eval": ev,
+        "eval_oracle": oracle,
         "device": os.environ.get("JAX_PLATFORMS", "tpu"),
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
@@ -558,10 +639,12 @@ def stage_report(ws, out_path):
         json.dump(report, fh, indent=1)
     print(json.dumps({"final_test_psnr": report["phase_a"]["final_test_psnr_mean"],
                       "miou": ev.get("miou"),
-                      "localization_acc": ev.get("localization_acc")}))
+                      "localization_acc": ev.get("localization_acc"),
+                      "oracle_miou": oracle.get("miou") if oracle else None}))
 
 
-STAGES = ["scene", "ae", "phaseA", "phaseB", "render", "evalrun", "report"]
+STAGES = ["scene", "ae", "oracle", "phaseA", "phaseB", "render", "evalrun",
+          "report"]
 
 
 def main():
@@ -571,7 +654,7 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU-interpret run of every stage")
     ap.add_argument("--report_path", default=os.path.join(REPO,
-                                                          "QUALITY_r02.json"))
+                                                          "QUALITY_r03.json"))
     args = ap.parse_args()
 
     if args.smoke:
@@ -596,6 +679,8 @@ def main():
             stage_scene(args.ws)
         elif st == "ae":
             stage_ae(args.ws)
+        elif st == "oracle":
+            stage_oracle(args.ws)
         elif st == "phaseA":
             stage_phase_a(args.ws)
         elif st == "phaseB":

