@@ -827,8 +827,8 @@ def _pad_sched(aligned_start, spec: BlendSpec, nmemb: int):
 # Independent tiles processed per grid step: their serial per-chunk latency chains
 # (DMA waits + ~6 MXU issues each, ~2-5us) interleave, and the per-grid-step
 # pipeline overhead amortizes (the bwd kernel's empty-work floor measured ~5.4us
-# per step on v5e).
-NMEMB = 2
+# per step on v5e). Env-tunable for on-chip A/B (scripts/profile_stages.py).
+NMEMB = int(__import__("os").environ.get("LANGSPLAT_NMEMB", 2))
 
 
 def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
