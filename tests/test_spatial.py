@@ -34,6 +34,10 @@ def test_spatial_render_matches_single_device():
     sp_render = make_spatial_render(mesh, settings, axis="tiles")
     out = sp_render(field, cam["viewmatrix"], cam["projmatrix"], cam["campos"], bg)
 
+    # truncation counters must leave shard_map (psum'd over bands) so callers
+    # can run the render_full grow-and-retry policy (ADVICE r02)
+    assert int(out["instances_dropped"]) == 0
+    assert int(out["rect_dropped"]) == 0
     np.testing.assert_allclose(np.asarray(out["render"]),
                                np.asarray(ref["render"]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out["language_feature_image"]),
