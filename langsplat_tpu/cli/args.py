@@ -36,6 +36,9 @@ def add_pipeline_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--allow_budget_truncation", action="store_true")
     p.add_argument("--interpret", action="store_true",
                    help="CPU-testable path (tiled JAX backend)")
+    p.add_argument("--depth_shards", type=int, default=0,
+                   help="feature-phase training over a depth-rank sharded "
+                        "mesh of this many devices (ring/blockwise analog)")
 
 
 def add_optimization_args(p: argparse.ArgumentParser) -> None:
@@ -82,7 +85,8 @@ def extract_configs(args) -> TrainConfig:
         chunk=getattr(args, "chunk", 128),
         budget_factor=getattr(args, "budget_factor", 6),
         allow_budget_truncation=getattr(args, "allow_budget_truncation", False),
-        interpret=getattr(args, "interpret", False))
+        interpret=getattr(args, "interpret", False),
+        depth_shards=getattr(args, "depth_shards", 0))
     okw = {}
     for f in OptimizationConfig.__dataclass_fields__:
         if hasattr(args, f):

@@ -49,6 +49,11 @@ class PipelineConfig:
                                            # the instance budget cap is hit instead
                                            # of failing loudly
     interpret: bool = False            # Pallas interpret mode (CPU testing)
+    depth_shards: int = 0              # feature-phase training over a depth-rank
+                                       # sharded device mesh (the ring/blockwise
+                                       # analog, parallel/depth_sharded.py): >1
+                                       # shards the instance stream across that
+                                       # many devices; 0/1 = single-device
 
 
 @dataclass

@@ -234,6 +234,27 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
     prefetcher = FeaturePrefetcher(mcfg.lf_path, mcfg.feature_level) \
         if include_feature else None
 
+    # Depth-rank sharded feature training (the ring/blockwise analog): the
+    # instance stream splits into contiguous depth-rank intervals across a
+    # device mesh; gradients flow back through the all_gather/scan composition
+    # (parallel/depth_sharded.py). Steps are cached per settings so the usual
+    # budget/tmax growth policy recompiles at most once per new cap.
+    depth_mesh = None
+    depth_steps: dict = {}
+    if include_feature and pipe.depth_shards > 1:
+        from langsplat_tpu.parallel.mesh import make_mesh
+        depth_mesh = make_mesh(pipe.depth_shards, axis_names=("depth",))
+        logger.log(f"feature phase depth-sharded over {pipe.depth_shards} "
+                   f"devices")
+
+    def depth_step_for(settings):
+        if settings not in depth_steps:
+            from langsplat_tpu.parallel.depth_sharded import (
+                make_depth_sharded_feature_step)
+            depth_steps[settings] = make_depth_sharded_feature_step(
+                depth_mesh, settings, optimizer)
+        return depth_steps[settings]
+
     trace_active = False
     for iteration in range(first_iter + 1, ocfg.iterations + 1):
         if cfg.profile_dir:
@@ -282,10 +303,17 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                                      max_tiles=tmax_policy.tmax)
             if include_feature:
                 gt_feat, gt_mask = prefetcher.get(cam)
-                out = tr.train_step_feature(
-                    field, opt_state, stats, view, proj, campos,
-                    gt_feat, gt_mask, bg,
-                    settings=settings, optimizer=optimizer)
+                if depth_mesh is not None:
+                    nf, no, dloss, ddropped, drect = depth_step_for(settings)(
+                        field, opt_state, view, proj, campos,
+                        gt_feat, gt_mask, bg)
+                    out = tr.StepOutput(nf, no, stats, dloss, dloss,
+                                        jnp.zeros(()), ddropped, drect)
+                else:
+                    out = tr.train_step_feature(
+                        field, opt_state, stats, view, proj, campos,
+                        gt_feat, gt_mask, bg,
+                        settings=settings, optimizer=optimizer)
             else:
                 out = tr.train_step_rgb(
                     field, opt_state, stats, view, proj, campos,

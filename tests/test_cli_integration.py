@@ -71,3 +71,63 @@ def test_full_cli_two_phase_and_render(tmp_path):
     farr = np.load(os.path.join(fdir, "renders_npy",
                                 os.listdir(os.path.join(fdir, "renders_npy"))[0]))
     assert farr.shape == (48, 64, 3)
+
+
+@pytest.mark.slow
+def test_cli_feature_phase_depth_sharded(tmp_path):
+    """--depth_shards N trains phase B over the depth-rank sharded mesh from
+    the CLI (the ring analog as a reachable training path) and produces the
+    same updated features as the single-device run."""
+    root = str(tmp_path / "scene")
+    make_colmap_scene(root, n_cams=3)
+    out = str(tmp_path / "run")
+
+    lf_dir = os.path.join(root, "language_features_dim3")
+    os.makedirs(lf_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        seg = rng.integers(-1, 4, (4, 48, 64)).astype(np.int32)
+        feats = rng.normal(size=(4, 3)).astype(np.float32)
+        np.save(os.path.join(lf_dir, f"img_{i:03d}_s.npy"), seg)
+        np.save(os.path.join(lf_dir, f"img_{i:03d}_f.npy"), feats)
+
+    from langsplat_tpu.cli.train_cli import main as train_main
+    from langsplat_tpu.models import field_io
+
+    train_main([
+        "-s", root, "-m", out, "--no_include_feature", "--resolution", "1",
+        "--iterations", "10", "--interpret", "--quiet",
+        "--densify_until_iter", "0",
+        "--test_iterations", "999", "--save_iterations", "10",
+        "--checkpoint_iterations", "10", "--sh_degree", "1",
+    ])
+    ck = os.path.join(out + "_-1", "chkpnt10.npz")
+
+    common = ["-s", root, "-m", out, "--resolution", "1",
+              "--iterations", "8", "--interpret", "--quiet",
+              "--feature_level", "1", "--start_checkpoint", ck,
+              "--test_iterations", "999", "--save_iterations", "999",
+              "--checkpoint_iterations", "8", "--sh_degree", "1"]
+    train_main(common)
+    single = np.load(os.path.join(out + "_1", "chkpnt8.npz"))
+
+    out2 = str(tmp_path / "run_ds")
+    train_main(["-s", root, "-m", out2, "--resolution", "1",
+                "--iterations", "8", "--interpret", "--quiet",
+                "--feature_level", "1", "--start_checkpoint", ck,
+                "--test_iterations", "999", "--save_iterations", "999",
+                "--checkpoint_iterations", "8", "--sh_degree", "1",
+                "--depth_shards", "4"])
+    sharded = np.load(os.path.join(out2 + "_1", "chkpnt8.npz"))
+
+    # every field leaf (checkpoint group "field_i": geometry frozen+identical,
+    # language features updated by the respective step) must agree
+    field_keys = sorted(k for k in single.files if k.startswith("field_"))
+    assert field_keys and field_keys == sorted(
+        k for k in sharded.files if k.startswith("field_"))
+    for k in field_keys:
+        if single[k].dtype == np.bool_:
+            np.testing.assert_array_equal(sharded[k], single[k], err_msg=k)
+        else:
+            np.testing.assert_allclose(sharded[k], single[k], atol=5e-5,
+                                       err_msg=k)
