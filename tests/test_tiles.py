@@ -272,3 +272,44 @@ def test_cull_huge_rect_fallback_and_zero_opacity():
     mask0 = tile_pass_mask(prep, tile_size=16, tmax=8,
                            opacities=jnp.asarray(np.array([1e-9], np.float32)))
     assert int(mask0.sum()) == 0
+
+
+def test_rect_dropped_gated_on_dead_opacity():
+    """A huge-rect Gaussian whose opacity is below ALPHA_EPS contributes
+    provably zero alpha everywhere (any_alpha false, mask all-zero), so its
+    unexamined tail must NOT count as rect_dropped — otherwise one near-dead
+    splat ratchets TmaxPolicy toward the grid cap through discarded
+    steps/recompiles (ADVICE r02)."""
+    from langsplat_tpu.ops.rasterize_reference import ALPHA_EPS
+
+    cam = make_camera(w=64, h=64)
+    means, scales, quats, colors, opac, feats = random_scene(12, seed=5)
+    scales = scales.copy()
+    scales[0] = 5.0                      # huge splat: rect far beyond tmax
+    prep = run_preprocess(means, scales, quats, colors, cam, tile_size=16)
+    w = prep.tiles_max[0, 0] - prep.tiles_min[0, 0]
+    h = prep.tiles_max[0, 1] - prep.tiles_min[0, 1]
+    tmax = 2
+    assert int(w * h) > tmax             # premise: rect overflows the cap
+
+    live = opac.copy()
+    live[0] = 0.5                        # alive huge splat -> tail counted
+    r_live = bin_gaussians(prep, grid_x=4, grid_y=4, budget=8192,
+                           max_tiles_per_gaussian=tmax, tile_size=16,
+                           opacities=jnp.asarray(live))
+    assert int(r_live.rect_dropped) > 0
+
+    dead = opac.copy()
+    dead[0] = ALPHA_EPS / 4              # below eps -> provably zero contribution
+    r_dead = bin_gaussians(prep, grid_x=4, grid_y=4, budget=8192,
+                           max_tiles_per_gaussian=tmax, tile_size=16,
+                           opacities=jnp.asarray(dead))
+    # only gaussian 0's tail should disappear from the count
+    others = [i for i in range(12) if i != 0]
+    wl = prep.tiles_max[others, 0] - prep.tiles_min[others, 0]
+    hl = prep.tiles_max[others, 1] - prep.tiles_min[others, 1]
+    expected_others = int(np.sum(np.where(
+        (np.asarray(wl * hl) > tmax) & np.asarray(prep.visible)[others],
+        np.asarray(wl * hl) - tmax, 0)))
+    assert int(r_dead.rect_dropped) <= expected_others
+    assert int(r_dead.rect_dropped) < int(r_live.rect_dropped)
