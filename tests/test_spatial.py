@@ -248,3 +248,33 @@ def test_depth_sharded_render_full_grows_budget():
                  cam["campos"], bg)
     np.testing.assert_allclose(np.asarray(out["render"]),
                                np.asarray(ref["render"]), atol=2e-5)
+
+
+def test_depth_sharded_render_full_grows_tmax():
+    """rect overflow (max_tiles cap) grows tmax, not the budget."""
+    from dataclasses import replace as dc_replace
+    from langsplat_tpu.parallel.depth_sharded import depth_sharded_render_full
+    from langsplat_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, axis_names=("depth",))
+    h = w = 64
+    cam = make_camera(w=w, h=h)
+    field = make_field(n=24, cap=32, seed=4)
+    # blow up one splat so its tile rect exceeds max_tiles=2
+    scaling = np.array(field.scaling)
+    scaling[0] = np.log(3.0)
+    field = dc_replace(field, scaling=jnp.asarray(scaling))
+    tiny_tmax = RenderSettings(
+        image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+        tanfovy=cam["tanfovy"], sh_degree=1, include_feature=False,
+        tile_size=16, backend="tiled", max_per_tile=256, budget=4096,
+        max_tiles_per_gaussian=2)
+    bg = jnp.zeros(3)
+    out = depth_sharded_render_full(mesh, tiny_tmax, field, cam["viewmatrix"],
+                                    cam["projmatrix"], cam["campos"], bg)
+    assert int(out["rect_dropped"]) == 0
+    full = dc_replace(tiny_tmax, max_tiles_per_gaussian=16)
+    ref = render(field, full, cam["viewmatrix"], cam["projmatrix"],
+                 cam["campos"], bg)
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]), atol=2e-5)
