@@ -54,12 +54,19 @@ def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     k = window.shape[0]
     kh = jnp.broadcast_to(window[None, None, :, None], (c, 1, k, 1))
     kw = jnp.broadcast_to(window[None, None, None, :], (c, 1, 1, k))
+    # HIGHEST: TPU convs default to single-pass bf16 inputs; the SSIM map
+    # divides by (sigma1_sq + sigma2_sq + c2) with c2 = 9e-4, so a ~4e-3
+    # absolute bf16 error in E[x^2] - mu^2 on flat bright regions blows the
+    # map far outside [-1, 1] (observed on-chip as NEGATIVE total RGB losses);
+    # CPU tests never see it because CPU convs ignore precision
     out = jax.lax.conv_general_dilated(
         img, kh, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     out = jax.lax.conv_general_dilated(
         out, kw, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return out[0] if squeeze else out
 
 

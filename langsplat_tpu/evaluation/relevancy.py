@@ -26,8 +26,13 @@ def relevancy(embeds: jnp.ndarray, pos_embed: jnp.ndarray,
               neg_embeds: jnp.ndarray) -> jnp.ndarray:
     """[N, D] embeds, [D] positive, [M, D] negatives -> [N, 2] (pos_prob, neg_prob)
     for the most adversarial negative."""
-    pos_sim = embeds @ pos_embed                      # [N]
-    neg_sim = embeds @ neg_embeds.T                   # [N, M]
+    # HIGHEST: TPU matmuls default to bf16 inputs; cosine sims feed a
+    # temperature-10 softmax whose thresholds the eval protocol compares at
+    # f32 (the torch reference), so keep them f32-exact
+    pos_sim = jnp.matmul(embeds, pos_embed,
+                         precision=jax.lax.Precision.HIGHEST)       # [N]
+    neg_sim = jnp.matmul(embeds, neg_embeds.T,
+                         precision=jax.lax.Precision.HIGHEST)       # [N, M]
     pairs = jnp.stack([jnp.broadcast_to(pos_sim[:, None], neg_sim.shape), neg_sim],
                       axis=-1)                        # [N, M, 2]
     probs = jax.nn.softmax(RELEVANCY_TEMPERATURE * pairs, axis=-1)
@@ -59,7 +64,8 @@ def semantic_map(sem_map: jnp.ndarray, semantic_embeds: jnp.ndarray,
     (reference get_semantic_map, openclip_encoder.py:82-94)."""
     l, h, w, d = sem_map.shape
     phrases = jnp.concatenate([semantic_embeds, neg_embeds], axis=0)
-    logits = sem_map.reshape(l, h * w, d) @ phrases.T
+    logits = jnp.matmul(sem_map.reshape(l, h * w, d), phrases.T,
+                        precision=jax.lax.Precision.HIGHEST)
     pred = jnp.argmax(jax.nn.softmax(RELEVANCY_TEMPERATURE * logits, axis=-1), axis=-1)
     pred = jnp.where(pred >= semantic_embeds.shape[0], -1, pred)
     return pred.reshape(l, h, w)

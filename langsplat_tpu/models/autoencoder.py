@@ -32,11 +32,15 @@ class Autoencoder(nn.Module):
     input_dim: int = 512
 
     def setup(self):
-        self.enc_dense = [nn.Dense(d, name=f"enc_dense_{i}")
+        # HIGHEST: TPU Dense matmuls default to bf16 inputs; the reference AE
+        # trains/encodes in torch f32 and the 3-d codes feed cosine-threshold
+        # eval logic, so keep the MLP f32-exact (the model is tiny)
+        prec = jax.lax.Precision.HIGHEST
+        self.enc_dense = [nn.Dense(d, name=f"enc_dense_{i}", precision=prec)
                           for i, d in enumerate(self.encoder_dims)]
         self.enc_bn = [nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=f"enc_bn_{i}")
                        for i in range(1, len(self.encoder_dims))]
-        self.dec_dense = [nn.Dense(d, name=f"dec_dense_{i}")
+        self.dec_dense = [nn.Dense(d, name=f"dec_dense_{i}", precision=prec)
                           for i, d in enumerate(self.decoder_dims)]
 
     def encode(self, x, train: bool = False):

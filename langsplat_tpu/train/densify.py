@@ -99,7 +99,8 @@ def densify_and_prune(field: GaussianField, stats: DensifyStats, rng: jax.Array,
     emit = jnp.stack([clone_mask | split_mask, split_mask], axis=1)     # [cap, 2]
     noise = jax.random.normal(rng, (cap, 2, 3), field.xyz.dtype) * scales[:, None, :]
     R = quat_to_rotmat(field.rotation)                                  # [cap, 3, 3]
-    offsets = jnp.einsum("cij,ckj->cki", R, noise)                      # [cap, 2, 3]
+    offsets = jnp.einsum("cij,ckj->cki", R, noise,
+                          precision=jax.lax.Precision.HIGHEST)    # [cap, 2, 3]
     is_split = split_mask[:, None]                                      # [cap, 1]
     child_xyz = jnp.where(is_split[..., None],
                           field.xyz[:, None, :] + offsets,
