@@ -65,6 +65,15 @@ class P:
     iters_a = 10_000
     densify_until = 6_000
     test_every = 1_000
+    # The self-consistency scene converges to L1 ~0.004 before the first
+    # opacity reset — screen-space grads sit ~100x below the reference's
+    # real-scene 2e-4 threshold, so densification never arms while the
+    # size-prune (radius > 20 px, active post-reset, reference semantics)
+    # removes the grazing-angle floor splats each cycle: observed death
+    # spiral 28k -> 150 Gaussians. A threshold scaled to this protocol's
+    # gradient magnitudes keeps clone/split live so pruned coverage is
+    # replaced, as on real scenes.
+    densify_grad_threshold = 2e-5
     # phase B
     iters_b = 3_000
     # the synthetic per-object embeddings are near-orthogonal random 512-d
@@ -451,6 +460,7 @@ def stage_phase_a(ws):
             "--resolution", "1",
             "--iterations", str(P.iters_a),
             "--densify_until_iter", str(P.densify_until),
+            "--densify_grad_threshold", str(P.densify_grad_threshold),
             "--test_iterations"] + [str(t) for t in tests] + [
             "--save_iterations", str(P.iters_a),
             "--checkpoint_iterations", str(P.iters_a)] + common_pipe_flags()
