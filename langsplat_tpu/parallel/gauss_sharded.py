@@ -184,7 +184,8 @@ def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimize
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_field = merge_params(field, new_params)
-        new_stats = update_stats(stats, ss_grad, any_vis > 0, max_radii)
+        new_stats = update_stats(stats, ss_grad, any_vis > 0, max_radii,
+                                 settings.image_width, settings.image_height)
         return GaussShardedStepOutput(new_field, new_opt_state, new_stats, loss)
 
     rep = P()

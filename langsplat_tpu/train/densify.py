@@ -49,9 +49,22 @@ class DensifyStats:
 
 
 def update_stats(stats: DensifyStats, screenspace_grad: jnp.ndarray,
-                 visibility: jnp.ndarray, radii: jnp.ndarray) -> DensifyStats:
-    """Per-iteration accumulation (`train.py:125-126`, `gaussian_model.py:480-482`)."""
-    gnorm = jnp.linalg.norm(screenspace_grad[:, :2], axis=-1)
+                 visibility: jnp.ndarray, radii: jnp.ndarray,
+                 image_width: int, image_height: int) -> DensifyStats:
+    """Per-iteration accumulation (`train.py:125-126`, `gaussian_model.py:480-482`).
+
+    `screenspace_grad` is dL/d(means2D) in PIXEL coordinates (our means2D
+    convention, projection.py:152-154). The reference's CUDA backward reports
+    dL/dmean2D in half-image units — backward.cu multiplies the pixel-space
+    gradient by ddelx_dx = 0.5*W, ddely_dy = 0.5*H [inferred, upstream
+    diff-gaussian-rasterization] — and the densify_grad_threshold default
+    2e-4 (`arguments/__init__.py:92`) is calibrated to THOSE units. Without
+    this scaling densification under-fires by ~0.5*max(W,H) (~300x at
+    640x480): observed as a 28k -> 150 death spiral once the post-reset
+    size-prune removed splats and nothing replaced them.
+    """
+    scale = jnp.asarray([0.5 * image_width, 0.5 * image_height], jnp.float32)
+    gnorm = jnp.linalg.norm(screenspace_grad[:, :2] * scale, axis=-1)
     vis = visibility.astype(jnp.float32)
     return DensifyStats(
         grad_accum=stats.grad_accum + gnorm * vis,

@@ -150,7 +150,8 @@ def train_step_rgb(field: GaussianField, opt_state, stats: DensifyStats,
     params = optax.apply_updates(params, updates)
     new_field = merge_params(field, params)
     vis = out["visibility_filter"]
-    stats = update_stats(stats, ss_grad, vis, out["radii"])
+    stats = update_stats(stats, ss_grad, vis, out["radii"],
+                         settings.image_width, settings.image_height)
     return StepOutput(new_field, opt_state, stats, loss, l1,
                       losses.psnr(jnp.clip(out["render"], 0, 1),
                                   jnp.clip(gt_image, 0, 1)),

@@ -65,15 +65,13 @@ class P:
     iters_a = 10_000
     densify_until = 6_000
     test_every = 1_000
-    # The self-consistency scene converges to L1 ~0.004 before the first
-    # opacity reset — screen-space grads sit ~100x below the reference's
-    # real-scene 2e-4 threshold, so densification never arms while the
-    # size-prune (radius > 20 px, active post-reset, reference semantics)
-    # removes the grazing-angle floor splats each cycle: observed death
-    # spiral 28k -> 150 Gaussians. A threshold scaled to this protocol's
-    # gradient magnitudes keeps clone/split live so pruned coverage is
-    # replaced, as on real scenes.
-    densify_grad_threshold = 2e-5
+    # Reference default (arguments/__init__.py:92). The round-3 death-spiral
+    # investigation (28k -> 150 Gaussians: post-reset size-prune removing
+    # grazing-angle floor splats with densification never arming) turned out
+    # to be a UNITS bug, not a threshold problem: the reference accumulates
+    # mean2D grads in half-image units (backward.cu scales by 0.5*W/0.5*H)
+    # and 2e-4 is calibrated to those — fixed in train/densify.update_stats.
+    densify_grad_threshold = 2e-4
     # phase B
     iters_b = 3_000
     # the synthetic per-object embeddings are near-orthogonal random 512-d

@@ -241,3 +241,21 @@ def test_python_escape_hatches_bitwise():
                      cam["projmatrix"], cam["campos"], bg)["render"]
         np.testing.assert_array_equal(np.asarray(alt), np.asarray(ref),
                                       err_msg=str(kw))
+
+
+def test_update_stats_reference_half_image_units():
+    """Densify stats accumulate mean2D grad norms in the reference's
+    HALF-IMAGE units (CUDA backward scales pixel grads by 0.5*W / 0.5*H;
+    the 2e-4 threshold is calibrated to those). Raw pixel-space norms
+    under-fire densification by ~0.5*max(W,H) — the round-3 death spiral."""
+    cap = 3
+    stats = dn.DensifyStats.zeros(cap)
+    g = jnp.asarray([[1e-3, 2e-3], [0.0, -4e-3], [5e-3, 0.0]])
+    vis = jnp.asarray([True, True, False])
+    radii = jnp.asarray([3, 7, 9], jnp.int32)
+    out = dn.update_stats(stats, g, vis, radii, 640, 480)
+    expect = np.linalg.norm(np.asarray(g) * np.array([320.0, 240.0]), axis=-1)
+    expect = expect * np.asarray(vis, np.float32)
+    np.testing.assert_allclose(np.asarray(out.grad_accum), expect, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.denom), [1.0, 1.0, 0.0])
+    np.testing.assert_array_equal(np.asarray(out.max_radii2d), [3.0, 7.0, 0.0])
