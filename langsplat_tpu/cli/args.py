@@ -68,6 +68,12 @@ def add_optimization_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--densify_until_iter", type=int, default=d.densify_until_iter)
     p.add_argument("--densify_grad_threshold", type=float,
                    default=d.densify_grad_threshold)
+    p.add_argument("--initial_capacity_factor", type=float,
+                   default=d.initial_capacity_factor,
+                   help="padded capacity = factor * init points (static-shape "
+                        "headroom; one recompile per geometric growth beyond)")
+    p.add_argument("--capacity_growth_factor", type=float,
+                   default=d.capacity_growth_factor)
 
 
 def extract_configs(args) -> TrainConfig:

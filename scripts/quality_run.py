@@ -459,6 +459,9 @@ def stage_phase_a(ws):
             "--iterations", str(P.iters_a),
             "--densify_until_iter", str(P.densify_until),
             "--densify_grad_threshold", str(P.densify_grad_threshold),
+            # headroom for densification growth (GT field is 112k) without
+            # paying a remote-recompile per geometric capacity growth
+            "--initial_capacity_factor", "6",
             "--test_iterations"] + [str(t) for t in tests] + [
             "--save_iterations", str(P.iters_a),
             "--checkpoint_iterations", str(P.iters_a)] + common_pipe_flags()
