@@ -629,6 +629,19 @@ def stage_report(ws, out_path):
     if os.path.exists(ply):
         from langsplat_tpu.models import field_io
         n_final = int(field_io.load_ply(ply).num_alive)
+    # densification trajectory (clone/split vs prune dynamics around opacity
+    # resets) from the progress lines: proves the grow path fired at scale
+    # even when size-pruning brings the final count back near the init
+    npat = re.compile(r"iter (\d+): \S+ n=(\d+)")
+    traj = {}
+    with open(ws_path(ws, "phaseA.log")) as fh:
+        for line in fh:
+            m = npat.search(line)
+            if m:
+                traj[int(m.group(1))] = int(m.group(2))
+    n_curve = [{"iter": it, "n": traj[it]}
+               for it in sorted(traj) if it % 500 == 0 or it == max(traj)]
+    n_peak = max(traj.values()) if traj else None
     report = {
         "protocol": "self-consistency synthetic-COLMAP scene, full "
                     "process.sh-shaped pipeline (AE 512->3, phase A RGB with "
@@ -636,7 +649,8 @@ def stage_report(ws, out_path):
         "scene": {"gaussians_gt": P.floor_pts + P.n_objects * P.obj_pts,
                   "init_points": P.init_pts, "cameras": P.n_cams,
                   "image": [P.width, P.height], "objects": P.n_objects + 1,
-                  "gaussians_final": n_final},
+                  "gaussians_final": n_final, "gaussians_peak": n_peak,
+                  "gaussians_curve": n_curve},
         "phase_a": {"iterations": P.iters_a, "psnr_curve": curve,
                     "final_test_psnr_mean": float(np.mean(psnrs)) if psnrs else None,
                     "final_test_psnr_per_view": [round(p, 3) for p in psnrs]},
