@@ -69,9 +69,11 @@ class BlendSpec(NamedTuple):
     chunk: int             # bwd DMA/compute granularity
     num_feat: int          # F language channels (0 => RGB only)
     aligned_budget: int    # padded instance capacity (multiple of align)
-    fwd_mult: int = 1      # fwd chunk = fwd_mult * chunk (both kernels are LATENCY
-                           # bound per chunk body, ~2us each on v5e, so big chunks
-                           # amortize; bwd prefers finer early-exit granularity)
+    fwd_mult: int = 1      # fwd chunk = fwd_mult * chunk. With lane-fused members
+                           # (NMEMB) amortizing per-issue costs, fwd_mult=1 wins:
+                           # the triangular cumsum's FLOPs scale with the chunk
+                           # width, so the smallest chunk minimizes MXU work
+                           # (measured v5e: fwd 11.2 ms @ mult 1 vs 12.7 @ 2)
     align: int = 128       # per-tile ranges are padded to multiples of this ONLY
                            # (decoupled from the chunk sizes: each tile's final
                            # partial chunk masks out-of-range lanes in-kernel, so
@@ -86,9 +88,11 @@ class BlendSpec(NamedTuple):
                            # kernel matmul at DEFAULT (single-pass bf16) — the
                            # rendered image stays exact, gradients pick up
                            # ~3-6e-3 relative error (micro_precision.py).
-                           # Measured NO speedup on v5e (the bwd kernel is
-                           # latency-bound, not MXU-throughput-bound) — kept as
-                           # an opt-in for other TPU generations.
+                           # "exact" keeps f32-faithful gradients; its cumsums
+                           # already use the 2-pass bf16 hi/lo split (bitwise
+                           # equal to the HIGHEST decomposition), so bf16 only
+                           # buys the small per-member contraction matmuls
+                           # (~3 ms of the bwd kernel at bench scale).
 
     @property
     def fwd_chunk(self) -> int:
@@ -121,7 +125,7 @@ class BlendSpec(NamedTuple):
 
 def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chunk: int,
                     num_feat: int, budget: int, interpret: bool = False,
-                    fwd_mult: int = 2, align: int | None = None,
+                    fwd_mult: int = 1, align: int | None = None,
                     grad_mode: str = "full",
                     grad_precision: str = "exact") -> BlendSpec:
     if chunk <= 0:
@@ -165,6 +169,10 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
 #: bench sizes — scripts/micro_segsum.py) or "gather" (lane cumsum + one
 #: boundary gather). Overridable per-process for A/B comparison.
 BWD_REDUCE = __import__("os").environ.get("LANGSPLAT_BWD_REDUCE", "segsum")
+if BWD_REDUCE not in ("segsum", "gather"):
+    raise ValueError(
+        f"LANGSPLAT_BWD_REDUCE must be 'segsum' or 'gather', got "
+        f"{BWD_REDUCE!r} — a typo here would silently defeat an A/B comparison")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -176,16 +184,17 @@ def _gather_attrs(budget: int, grad_rows: tuple, reduce_cfg: tuple,
     (budget for zero-opacity padding instances, aligned for alignment holes), built
     by the caller with one cheap 1-D scatter. Custom VJP: XLA's default backward for
     this gather is a scatter-ADD over every instance (~370 ms at 3M instances on
-    v5e). A permute GATHER into pre-sort order costs ~22 ns per index (~53 ms,
-    locality-independent — scripts/micro_gather_locality.py), while a single-key
-    u32 sort carrying all 12 gradient rows as payloads costs ~22 ms. So the
-    backward sorts the cotangent columns by `poa` into pre-sort order, where each
-    Gaussian's instances are contiguous, then reduces segments either with the
-    Pallas `segment_sum_bounded` kernel (reduce_cfg=("segsum", interpret), the
-    default — streams each block's contiguous short-segment span by DMA and
-    contracts a one-hot membership mask on the MXU, ~4x the gather formulation
-    at bench sizes) or with one cumsum + one boundary gather + adjacent diff
-    (reduce_cfg=("gather", ...)). Both are deterministic and exactly equal
+    v5e). A permute GATHER into pre-sort order through the statically-known inverse
+    permutation was measured SLOWER than sorting (~47 ms vs ~22 ms at bench scale —
+    a 12-row column gather does not amortize indices the way the forward pack
+    gather does), so the backward sorts the cotangent columns by `poa` into
+    pre-sort order, where each Gaussian's instances are contiguous, then reduces
+    segments either with the Pallas `segment_sum_bounded` kernel
+    (reduce_cfg=("segsum", interpret), the default — streams each block's
+    contiguous short-segment span by DMA and contracts a one-hot membership mask
+    on the MXU, ~4x the cumsum formulation at bench sizes) or with one cumsum +
+    one boundary gather + adjacent diff (reduce_cfg=("gather", ...)). All paths
+    are deterministic and exactly equal
     (tests/test_pallas_blend.py::test_segsum_backward_matches_gather).
     """
     del budget, grad_rows, reduce_cfg, poa, gauss_offsets
@@ -234,7 +243,7 @@ def _gather_attrs_bwd(budget, grad_rows, reduce_cfg, res, g):
              jnp.zeros((rows - r0 - rn, n1), g.dtype)], axis=0)
     f0 = jax.dtypes.float0
     zero_gid = _np.zeros((g.shape[1],), f0)
-    zero_poa = _np.zeros((g.shape[1],), f0)
+    zero_poa = _np.zeros((poa.shape[0],), f0)
     zero_off = _np.zeros((n1,), f0)
     return d_attrs, zero_gid, zero_poa, zero_off
 
@@ -352,11 +361,27 @@ def _cumsum_lanes(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """
     c = x.shape[1]
     blk = 128
-    # blocking only pays past C=512: each extra tiny matmul pads its small dim to
-    # the 128 MXU tile and adds issue latency, which swamps the FLOP savings at
-    # C=256 (measured on v5e: bwd chunk bodies are latency-sensitive)
+    if precision is None or precision == MM_PRECISION:
+        # f32-faithful at ~1/3 the MXU passes of HIGHEST: the triangular matrix
+        # is exactly representable in bf16 (zeros/ones), so only x needs the
+        # hi/lo split — x == hi + lo with both parts bf16-lossless, each pass
+        # runs single-pass bf16 with f32 accumulation, and the sum reproduces
+        # the HIGHEST decomposition (whose y_lo terms vanish identically)
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = x - hi
+        dflt = jax.lax.Precision.DEFAULT
+        if c < 512 or c % blk != 0:
+            tri = _triu_ones(c)
+            return _mm(hi, tri, dflt) + _mm(lo, tri, dflt)
+        return _cumsum_blocked(hi, dflt) + _cumsum_blocked(lo, dflt)
     if c < 512 or c % blk != 0:
         return _mm(x, _triu_ones(c), precision)
+    return _cumsum_blocked(x, precision)
+
+
+def _cumsum_blocked(x: jnp.ndarray, precision) -> jnp.ndarray:
+    c = x.shape[1]
+    blk = 128
     nb = c // blk
     tri = _triu_ones(blk)
     y = jnp.concatenate([_mm(x[:, i * blk:(i + 1) * blk], tri, precision)
@@ -375,6 +400,17 @@ def _cumsum_lanes(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     return y + _mm(tot_ex, expand, precision)
 
 
+_FAKE_TRANS = bool(__import__("os").environ.get("LANGSPLAT_FAKE_TRANS"))
+
+
+def _exp(x):
+    return (1.0 + 0.5 * x) if _FAKE_TRANS else jnp.exp(x)
+
+
+def _log(x):
+    return (x - 1.0) if _FAKE_TRANS else jnp.log(x)
+
+
 def _cumprod_lanes(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Inclusive cumulative product along the lane axis via exp(cumsum(log)).
 
@@ -383,13 +419,17 @@ def _cumprod_lanes(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     which the TERM_EPS termination masks anyway. Two transcendental passes + one
     MXU matmul instead of ~28 VPU passes (7 steps x roll+iota+select+multiply).
     """
-    return jnp.exp(_cumsum_lanes(jnp.log(x), precision))
+    return _exp(_cumsum_lanes(_log(x), precision))
 
 
-def _chunk_alpha(data: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
-    """Alphas for one chunk. data [rows, chunk]; px/py [pixels, 1].
+def _chunk_alpha(data: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
+                 lane: jnp.ndarray, limit):
+    """Alphas for one chunk. data [rows, chunk]; px/py [pixels, 1]; `lane` a
+    precomputed [pixels, chunk] lane iota; `limit` the number of in-tile lanes
+    (the final partial chunk of a tile holds the NEXT tile's instances past it).
 
-    Returns (alpha, gexp, dx, dy, keep) — all [pixels, chunk]; alpha is post-threshold.
+    Returns (alpha, gexp, keep) — all [pixels, chunk]; alpha is post-threshold
+    and zero outside `keep` (incl. out-of-tile lanes).
     """
     mx = data[ROW_MX:ROW_MX + 1, :]
     my = data[ROW_MY:ROW_MY + 1, :]
@@ -399,151 +439,61 @@ def _chunk_alpha(data: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     opa = data[ROW_OPA:ROW_OPA + 1, :]
     dx = px - mx
     dy = py - my
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    keep_p = power <= 0.0
-    gexp = jnp.exp(jnp.where(keep_p, power, -1.0))
+    power = -0.5 * ((ca * dx + cb * dy) * dx + (cc * dy) * dy
+                    + (cb * dx) * dy)
+    keep_p = (power <= 0.0) & (lane < limit)
+    gexp = _exp(jnp.where(keep_p, power, -1.0))
     alpha = jnp.minimum(ALPHA_MAX, opa * gexp)
     keep = keep_p & (alpha >= ALPHA_EPS)
     alpha = jnp.where(keep, alpha, 0.0)
-    return alpha, gexp, dx, dy, keep
+    return alpha, gexp, keep
 
 
-def _blend_state(alpha, t_carry, done, precision=None):
-    """Shared forward blend bookkeeping for one chunk.
+def _blend_core(alpha, t_carry, lane, precision=None, want_floor=False):
+    """Shared blend bookkeeping for one chunk; `t_carry` [pixels, 1] carries 0 for
+    pixels that already terminated (the zero-carry done encoding: t_incl is then
+    identically 0 < TERM_EPS, so `included` masks every lane with no separate done
+    flag or ~done broadcast anywhere).
 
-    Returns (eff, w, t_excl, t_new, done_new): effective alphas after the CUDA
-    termination rule, blend weights, per-instance exclusive transmittance, and the
-    carried transmittance / done latch for the next chunk.
+    Returns (w, t_excl, included, min_incl, floor): blend weights, per-instance
+    exclusive transmittance, the inclusion mask (CUDA termination rule), the carried
+    transmittance candidate, and (when want_floor) the transmittance after the last
+    included instance — the pixel's FINAL T if it terminates in this chunk.
 
-    Inclusion is a PREFIX property along lanes (t_incl is non-increasing, so once it
-    crosses TERM_EPS it never recovers), which collapses the second cumulative product
-    over effective alphas: t_carry * cumprod(1 - eff)[i] == max(t_incl[i], floor)
-    where floor is t_incl at the last included lane (t_carry when none is included —
-    t_incl <= t_carry always, so filling the min with t_carry handles that case).
-    One cumprod + a min-reduce + a shift instead of two cumprods (saves ~7
-    roll-multiply [pixels, chunk] passes per chunk in both fwd and bwd kernels).
+    t_excl is the RAW shifted t_incl: past the termination lane it is not the
+    "effective" exclusive transmittance, but every consumer multiplies it by a
+    quantity gated on `included` (w here, `live` in the backward), so the
+    floor/cummax repair the previous formulation did is unnecessary.
     """
     t_incl = t_carry * _cumprod_lanes(1.0 - alpha, precision)
-    included = (t_incl >= TERM_EPS) & jnp.logical_not(done)
-    eff = jnp.where(included, alpha, 0.0)
-    floor = jnp.min(jnp.where(included, t_incl, t_carry), axis=1, keepdims=True)
-    cum_incl = jnp.maximum(t_incl, floor)     # == t_carry * cumprod(1 - eff)
-    rolled = pltpu.roll(cum_incl, shift=1, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, cum_incl.shape, 1)
+    included = t_incl >= TERM_EPS
+    rolled = pltpu.roll(t_incl, shift=1, axis=1)
     t_excl = jnp.where(lane >= 1, rolled, t_carry)
-    w = eff * t_excl
+    w = jnp.where(included, alpha, 0.0) * t_excl
     # Carries via full-lane reductions: lane-slice extracts ([:, -1:]) would give the
-    # while-loop carries a lane-offset layout Mosaic can't reconcile with the offset-0
-    # initial values. min(t_incl) is the last lane (monotone); t_new == floor exactly
-    # (min over lanes of max(t_incl, floor), and floor >= t_incl[last]).
-    done_new = done | (jnp.min(t_incl, axis=1, keepdims=True) < TERM_EPS)
-    return eff, w, t_excl, floor, done_new
+    # loop carries a lane-offset layout Mosaic can't reconcile with the offset-0
+    # initial values. min(t_incl) is the last lane (t_incl is non-increasing).
+    min_incl = jnp.min(t_incl, axis=1, keepdims=True)
+    floor = (jnp.min(jnp.where(included, t_incl, t_carry), axis=1, keepdims=True)
+             if want_floor else None)
+    return w, t_excl, included, min_incl, floor
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel
+# Lane-fused kernels: `nmemb` tiles process per grid step, their instance chunks
+# CONCATENATED ON THE LANE AXIS into joint [pixels, nmemb*chunk] arrays. Measured
+# motivation (v5e, bench scale): each chunk body is one serial dependency chain
+# (alpha -> cumsum -> w -> contrib -> cumsum -> dalpha -> moments) of VPU issues,
+# MXU weight-loads and DMA waits; separate per-tile bodies do NOT overlap (nmemb
+# 1/2/4 as python-level interleaving measured within 2% of each other), so fixed
+# per-issue costs dominate. Fusing tiles on lanes halves/quarters the issue count
+# per instance for every joint op while keeping total element work identical.
+# Per-member quantities enter joint ops as lane-half selects ([pixels,1] carries)
+# or [1, J] rows (scalars); cumulative ops run per lane-half (the cumsum matmul's
+# FLOPs scale with its width, so halves keep FLOPs constant); reductions slice
+# halves. The packed row layout concatenates members' data for free: each DMA
+# lands its tile's chunk in its own lane block of the shared buffer.
 # ---------------------------------------------------------------------------
-
-def _fwd_kernel(spec: BlendSpec,
-                start_ref,            # scalar prefetch: [num_tiles+1] aligned starts
-                inst_ref,             # HBM [rows, aligned_budget]
-                out_ref,              # VMEM block [1, pixels, out_channels]
-                chunk_buf, t_ref, done_ref, flag_ref, dma_sems):
-    # Loop state lives in VMEM scratch refs (t_ref/done_ref [nmemb, pixels, 1], the
-    # accumulator directly in out_ref): fori_loop with predicated bodies — value
-    # carries would force Mosaic to unify vector layouts across iterations
-    # (lane-slices/reductions yield offset/replicated layouts that clash with the
-    # offset-0 initials).
-    #
-    # The instance stream is double-buffered per member: chunk k+1's DMA is issued
-    # before chunk k's compute, so HBM reads overlap VPU/MXU work. flag_ref (SMEM)
-    # tracks whether a copy is in flight — needed because the early-exit prefix
-    # leaves exactly one issued-but-unconsumed DMA that must be drained.
-    #
-    # `nmemb` INDEPENDENT tiles process per grid step, their chunk bodies emitted
-    # interleaved: each body is a serial scalar/DMA/VPU/MXU latency chain (~1.5-2us
-    # on v5e), so independent chains let the units overlap and the per-grid-step
-    # pipeline overhead amortizes.
-    fchunk = spec.fwd_chunk
-    f32 = jnp.float32
-    ncol = spec.blend_channels
-    pid = pl.program_id(0)
-    nmemb = t_ref.shape[0]
-
-    starts, counts, nchunk_l, px_l, py_l = [], [], [], [], []
-    for u in range(nmemb):
-        t = pid * nmemb + u
-        starts.append(start_ref[t])
-        # start_ref holds [aligned starts (NT'+1) | true counts (NT')]: iterating
-        # ceil(count/chunk) skips alignment padding entirely; the final partial
-        # chunk may read past this tile's range (alignment is finer than the
-        # chunk), so out-of-range lanes are alpha-masked.
-        counts.append(start_ref[spec.padded_tiles(nmemb) + 1 + t])
-        nchunk_l.append((counts[u] + fchunk - 1) // fchunk)
-        px, py = _pixel_coords(t, spec, f32)
-        px_l.append(px)
-        py_l.append(py)
-        out_ref[u, :, :] = jnp.zeros((spec.pixels, spec.out_channels), f32)
-        t_ref[u, :, :] = jnp.ones((spec.pixels, 1), f32)
-        done_ref[u, :, :] = jnp.zeros((spec.pixels, 1), f32)
-
-    def copy_for(u, k, slot):
-        offset = pl.multiple_of(starts[u] + k * fchunk, spec.align)
-        return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(offset, fchunk)],
-            chunk_buf.at[u, slot], dma_sems.at[u, slot])
-
-    for u in range(nmemb):
-        @pl.when(nchunk_l[u] > 0)
-        def _(u=u):
-            copy_for(u, 0, 0).start()
-        flag_ref[u] = jnp.where(nchunk_l[u] > 0, 1, 0)
-
-    def body(k, _):
-        for u in range(nmemb):
-            inflight = flag_ref[u] == 1
-
-            @pl.when(inflight)
-            def _(u=u):
-                alive = jnp.max(1.0 - done_ref[u, :, :]) > 0.0
-                slot = jax.lax.rem(k, 2)
-                copy_for(u, k, slot).wait()
-                do_issue = alive & (k + 1 < nchunk_l[u])
-
-                @pl.when(do_issue)
-                def _():
-                    copy_for(u, k + 1, jax.lax.rem(k + 1, 2)).start()
-
-                flag_ref[u] = jnp.where(do_issue, 1, 0)
-
-                @pl.when(alive)
-                def _():
-                    data = chunk_buf[u, slot]
-                    alpha, _, _, _, _ = _chunk_alpha(data, px_l[u], py_l[u])
-                    # final partial chunk: lanes at or past this tile's true count
-                    # hold the NEXT tile's instances — mask them out of the blend
-                    lane = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
-                    alpha = jnp.where(lane < counts[u] - k * fchunk, alpha, 0.0)
-                    t_carry = t_ref[u, :, :]
-                    done = done_ref[u, :, :] > 0.0
-                    _, w, _, t_new, done_new = _blend_state(alpha, t_carry, done)
-                    # acc[p, ch] += sum_i w[p, i] * attrs[ch, i] (MXU over chunk)
-                    out_ref[u, :, 0:ncol] += jax.lax.dot_general(
-                        w, data[ROW_R:ROW_R + ncol, :],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        precision=MM_PRECISION,
-                        preferred_element_type=jnp.float32)
-                    t_ref[u, :, :] = t_new
-                    done_ref[u, :, :] = jnp.where(done_new, 1.0, 0.0)
-
-        return ()
-
-    nmax = nchunk_l[0]
-    for u in range(1, nmemb):
-        nmax = jnp.maximum(nmax, nchunk_l[u])
-    jax.lax.fori_loop(0, nmax, body, ())
-    for u in range(nmemb):
-        out_ref[u, :, ncol:ncol + 1] = t_ref[u, :, :]
 
 
 def _pixel_coords(tile_idx, spec: BlendSpec, dtype):
@@ -556,54 +506,223 @@ def _pixel_coords(tile_idx, spec: BlendSpec, dtype):
     return px, py
 
 
-# ---------------------------------------------------------------------------
-# Backward kernel
-# ---------------------------------------------------------------------------
+def _joint_cols(vals, lane, width):
+    """Per-member [pixels, 1] values -> joint [pixels, J] by lane-half select.
+
+    For one member this is the plain broadcast (no materialized select)."""
+    out = vals[-1]
+    for u in range(len(vals) - 2, -1, -1):
+        out = jnp.where(lane < (u + 1) * width, vals[u], out)
+    return out
+
+
+def _joint_row(scalars, row_io, width, dtype):
+    """Per-member scalars -> [1, J] row by lane-half select."""
+    out = jnp.full(row_io.shape, scalars[-1], dtype)
+    for u in range(len(scalars) - 2, -1, -1):
+        out = jnp.where(row_io < (u + 1) * width,
+                        jnp.full(row_io.shape, scalars[u], dtype), out)
+    return out
+
+
+def _alive_any(t_ref, nmemb):
+    """True while any pixel of any member still carries transmittance > 0."""
+    al = jnp.max(t_ref[0, :, :])
+    for u in range(1, nmemb):
+        al = jnp.maximum(al, jnp.max(t_ref[u, :, :]))
+    return al > 0.0
+
+
+def _fwd_kernel(spec: BlendSpec,
+                start_ref,            # scalar prefetch: [starts | counts] padded
+                inst_ref,             # HBM [rows, aligned_budget]
+                out_ref,              # VMEM block [nmemb, pixels, out_channels]
+                chunk_buf,            # VMEM [2, rows, nmemb*fwd_chunk]
+                t_ref, tfin_ref, flag_ref, dma_sems):
+    # Loop state lives in VMEM scratch refs (t_ref/tfin_ref [nmemb, pixels, 1], the
+    # accumulator directly in out_ref): fori_loop with predicated bodies — value
+    # carries would force Mosaic to unify vector layouts across iterations.
+    # t_ref carries 0 for terminated pixels (zero-carry done encoding); tfin_ref
+    # latches their final transmittance for the T output. The instance stream is
+    # double-buffered: chunk k+1's DMAs are issued before chunk k's compute.
+    fchunk = spec.fwd_chunk
+    f32 = jnp.float32
+    ncol = spec.blend_channels
+    pid = pl.program_id(0)
+    nmemb = t_ref.shape[0]
+    jw = nmemb * fchunk
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (spec.pixels, jw), 1)
+    lane_loc = jax.lax.rem(lane, fchunk)
+    row_io = jax.lax.broadcasted_iota(jnp.int32, (1, jw), 1)
+
+    starts, counts, nchunk_l, px_l, py_l = [], [], [], [], []
+    for u in range(nmemb):
+        t = pid * nmemb + u
+        starts.append(start_ref[t])
+        # start_ref holds [aligned starts (NT'+1) | true counts (NT')]: iterating
+        # ceil(count/chunk) skips alignment padding entirely; the final partial
+        # chunk may read past this tile's range (alignment is finer than the
+        # chunk), so out-of-range lanes are alpha-masked via the limit row.
+        counts.append(start_ref[spec.padded_tiles(nmemb) + 1 + t])
+        nchunk_l.append((counts[u] + fchunk - 1) // fchunk)
+        px, py = _pixel_coords(t, spec, f32)
+        px_l.append(px)
+        py_l.append(py)
+        out_ref[u, :, :] = jnp.zeros((spec.pixels, spec.out_channels), f32)
+        t_ref[u, :, :] = jnp.ones((spec.pixels, 1), f32)
+        tfin_ref[u, :, :] = jnp.ones((spec.pixels, 1), f32)
+    px_j = _joint_cols(px_l, lane, fchunk)
+    py_j = _joint_cols(py_l, lane, fchunk)
+    nmax = nchunk_l[0]
+    for u in range(1, nmemb):
+        nmax = jnp.maximum(nmax, nchunk_l[u])
+    # members iterate to the PAIR's max chunk count; a shorter member's excess
+    # reads are clamped into the sacrificial aligned tail (contents masked by the
+    # limit row anyway — the clamp only keeps the DMA in bounds)
+    read_cap = spec.aligned_budget - fchunk
+
+    def copies(k, slot):
+        out = []
+        for u in range(nmemb):
+            off = jnp.minimum(starts[u] + k * fchunk, read_cap)
+            off = pl.multiple_of(off, spec.align)
+            out.append(pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, fchunk)],
+                chunk_buf.at[slot, :, pl.ds(u * fchunk, fchunk)],
+                dma_sems.at[slot, u]))
+        return out
+
+    @pl.when(nmax > 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    flag_ref[0] = jnp.where(nmax > 0, 1, 0)
+
+    def body(k, _):
+        @pl.when(flag_ref[0] == 1)
+        def _():
+            alive = _alive_any(t_ref, nmemb)
+            slot = jax.lax.rem(k, 2)
+            for c in copies(k, slot):
+                c.wait()
+            do_issue = alive & (k + 1 < nmax)
+
+            @pl.when(do_issue)
+            def _():
+                for c in copies(k + 1, jax.lax.rem(k + 1, 2)):
+                    c.start()
+
+            flag_ref[0] = jnp.where(do_issue, 1, 0)
+
+            @pl.when(alive)
+            def _():
+                data = chunk_buf[slot]
+                limv = _joint_row([counts[u] - k * fchunk for u in range(nmemb)],
+                                  row_io, fchunk, jnp.int32)
+                alpha, _, _ = _chunk_alpha(data, px_j, py_j, lane_loc, limv)
+                tc = [t_ref[u, :, :] for u in range(nmemb)]
+                t_carry_j = _joint_cols(tc, lane, fchunk)
+                w, _, included, t_incl = _blend_core_joint(
+                    alpha, t_carry_j, lane_loc, fchunk, nmemb)
+                incl_fill = jnp.where(included, t_incl, t_carry_j)
+                for u in range(nmemb):
+                    sl = slice(u * fchunk, (u + 1) * fchunk)
+                    # acc[p, ch] += sum_i w[p, i] * attrs[ch, i] (MXU over chunk)
+                    out_ref[u, :, 0:ncol] += jax.lax.dot_general(
+                        w[:, sl], data[ROW_R:ROW_R + ncol, sl],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        precision=MM_PRECISION,
+                        preferred_element_type=jnp.float32)
+                    m_incl = jnp.min(t_incl[:, sl], axis=1, keepdims=True)
+                    floor = jnp.min(incl_fill[:, sl], axis=1, keepdims=True)
+                    term = m_incl < TERM_EPS
+                    # latch final T once, at the chunk a pixel terminates in
+                    # (floor == T after its last included instance)
+                    tfin_ref[u, :, :] = jnp.where(term & (tc[u] > 0.0), floor,
+                                                  tfin_ref[u, :, :])
+                    t_ref[u, :, :] = jnp.where(term, 0.0, m_incl)
+
+        return ()
+
+    jax.lax.fori_loop(0, nmax, body, ())
+    for u in range(nmemb):
+        tv = t_ref[u, :, :]
+        out_ref[u, :, ncol:ncol + 1] = jnp.where(tv > 0.0, tv, tfin_ref[u, :, :])
+
+
+def _blend_core_joint(alpha, t_carry_j, lane_loc, width, nmemb, precision=None):
+    """_blend_core over lane-fused members: the cumulative product runs per
+    lane-half (constant FLOPs/element; a joint triangular matmul would scale
+    with the fused width), everything else is joint. Returns
+    (w, t_excl, included, t_incl)."""
+    la = _log(1.0 - alpha)
+    if nmemb == 1:
+        cs = _cumsum_lanes(la, precision)
+    else:
+        cs = jnp.concatenate(
+            [_cumsum_lanes(la[:, u * width:(u + 1) * width], precision)
+             for u in range(nmemb)], axis=1)
+    t_incl = t_carry_j * _exp(cs)
+    included = t_incl >= TERM_EPS
+    rolled = pltpu.roll(t_incl, shift=1, axis=1)
+    # lane_loc == 0 also repairs the roll wrap-around between lane halves
+    t_excl = jnp.where(lane_loc >= 1, rolled, t_carry_j)
+    w = jnp.where(included, alpha, 0.0) * t_excl
+    return w, t_excl, included, t_incl
+
 
 def _bwd_kernel(spec: BlendSpec,
                 start_ref,            # scalar prefetch
                 inst_ref,             # HBM [rows, aligned_budget]
-                gout_ref,             # VMEM block [1, pixels, out_channels] cotangents
-                res_ref,              # VMEM block [1, pixels, 2]: (Total, T_final)
+                gout_ref,             # VMEM block [nmemb, pixels, out_channels]
+                res_ref,              # VMEM block [nmemb, pixels, 2]: (Total, T_final)
                 zeros_ref,            # HBM [rows, aligned_budget] (aliased -> grad out)
                 dinst_ref,            # HBM output [rows, aligned_budget]
-                chunk_buf, dchunk_buf, prefix_ref, t_ref, done_ref,
+                chunk_buf, dchunk_buf, prefix_ref, t_ref,
                 flag_ref, wcount_ref, in_sems, out_sems):
-    # Same double-buffered stream as the forward kernel, plus double-buffered gradient
-    # WRITES: chunk k's dchunk DMA-out is issued without waiting; its buffer slot is
-    # only reclaimed when chunk k+2 computes (writes are issued on the alive prefix of
-    # chunks, so the write for k-2 is always in flight when compute k runs). wcount_ref
-    # records issued writes so the epilogue can drain the last <=2.
-    #
-    # Like the forward kernel, `nmemb` independent tiles interleave per grid step.
-    # Gradient-write safety: members are only paired when chunk == align (no spill
-    # writes exist then — every tile's chunks cover exactly its padded range), so
-    # no write of one member can overlap another member's slots.
+    # Same double-buffered lane-fused stream as the forward kernel, plus
+    # double-buffered gradient WRITES: chunk k's dchunk DMAs are issued without
+    # waiting; their buffer slot is only reclaimed when chunk k+2 computes.
+    # Members fuse only when chunk == align (checked by _bwd_call): every tile's
+    # chunks then cover exactly its aligned range, so no member's legitimate
+    # write can spill into another member's slots; a shorter member's excess
+    # chunks (the pair iterates to the max) write their all-zero gradients into
+    # the sacrificial aligned tail instead of successor tiles' ranges.
     del zeros_ref
     f32 = jnp.float32
     ncol = spec.blend_channels
+    nf = spec.num_feat
     ts = spec.tile_size
+    cw = spec.chunk
     pid = pl.program_id(0)
     nmemb = t_ref.shape[0]
+    jw = nmemb * cw
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (spec.pixels, jw), 1)
+    lane_loc = jax.lax.rem(lane, cw)
+    row_io = jax.lax.broadcasted_iota(jnp.int32, (1, jw), 1)
 
     starts, counts, nchunk_l, px_l, py_l = [], [], [], [], []
-    g_blend_l, tail_l, total_l, pbasis_l, cx_l, cy_l = [], [], [], [], [], []
+    gb_l, gf_l, tail_l, total_l, pb_l, cx_l, cy_l = [], [], [], [], [], [], []
     for u in range(nmemb):
         t = pid * nmemb + u
         starts.append(start_ref[t])
         counts.append(start_ref[spec.padded_tiles(nmemb) + 1 + t])
-        nchunk_l.append((counts[u] + spec.chunk - 1) // spec.chunk)
+        nchunk_l.append((counts[u] + cw - 1) // cw)
         px, py = _pixel_coords(t, spec, f32)
         px_l.append(px)
         py_l.append(py)
-        g_blend_l.append(gout_ref[u, :, 0:ncol])               # [P, ncol]
+        gb_l.append(gout_ref[u, :, 0:ncol])                    # [P, ncol]
+        if spec.grad_mode == "feature":
+            gf_l.append(gout_ref[u, :, 3:3 + nf])
         g_t = gout_ref[u, :, ncol:ncol + 1]                    # [P, 1] dL/dT_final
         total_l.append(res_ref[u, :, 0:1])                     # [P, 1]
         t_final = res_ref[u, :, 1:2]                           # [P, 1]
         tail_l.append(g_t * t_final)
         prefix_ref[u, :, :] = jnp.zeros((spec.pixels, 1), f32)
         t_ref[u, :, :] = jnp.ones((spec.pixels, 1), f32)
-        done_ref[u, :, :] = jnp.zeros((spec.pixels, 1), f32)
         # Loop-invariant pixel polynomial basis for the moment contraction (see
         # _bwd_chunk): tile-centered coordinates keep the quadratic columns
         # well-conditioned in f32.
@@ -614,201 +733,258 @@ def _bwd_kernel(spec: BlendSpec,
         pxc = px - cx
         pyc = py - cy
         ones_col = jnp.ones((spec.pixels, 1), f32)
-        zeros_col = jnp.zeros((spec.pixels, 1), f32)
-        pbasis_l.append(jnp.concatenate(
-            [ones_col, pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc, zeros_col,
-             zeros_col], axis=1))                              # [P, 8]
+        pb_l.append(jnp.concatenate(
+            [ones_col, pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc], axis=1))
+    px_j = _joint_cols(px_l, lane, cw)
+    py_j = _joint_cols(py_l, lane, cw)
+    cx_j = _joint_row(cx_l, row_io, cw, f32)
+    cy_j = _joint_row(cy_l, row_io, cw, f32)
+    # member-blocked contraction bases: ONE MXU issue per joint reduction
+    # (out rows u*8..u*8+d x member u's lane block are the valid slices; member
+    # blocks pad to sublane stride 8 — Mosaic handles 8-aligned sublane concats)
+    zpad = jnp.zeros((spec.pixels, 8 - ncol), f32)
+    xg = jnp.concatenate(
+        [jnp.concatenate([gb_l[u], zpad], axis=1) for u in range(nmemb)]
+        if nmemb > 1 else gb_l, axis=1)            # [P, 8*m] (or [P, ncol])
+    xf = jnp.concatenate(gf_l, axis=1) if gf_l else None
+    # per-member lane-block masks for building block-diagonal right operands
+    hm_l = [(row_io // cw == u).astype(f32) for u in range(nmemb)]
+    nmax = nchunk_l[0]
+    for u in range(1, nmemb):
+        nmax = jnp.maximum(nmax, nchunk_l[u])
+    read_cap = spec.aligned_budget - cw
 
-    def in_copy(u, k, slot):
-        offset = pl.multiple_of(starts[u] + k * spec.chunk, spec.align)
-        return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(offset, spec.chunk)],
-            chunk_buf.at[u, slot], in_sems.at[u, slot])
+    def in_copies(k, slot):
+        out = []
+        for u in range(nmemb):
+            off = jnp.minimum(starts[u] + k * cw, read_cap)
+            off = pl.multiple_of(off, spec.align)
+            out.append(pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, cw)],
+                chunk_buf.at[slot, :, pl.ds(u * cw, cw)],
+                in_sems.at[slot, u]))
+        return out
 
-    def out_copy(u, k, slot):
-        # single-member mode only: the final partial chunk's write may spill past
-        # this tile's range into the NEXT tile's slots with zero gradients
-        # (out-of-range lanes are alpha-masked below); the grid runs tiles in order
-        # and the epilogue drains all writes, so the owning tile's later write
-        # always lands last — the spill is overwritten, never the other way round
-        offset = pl.multiple_of(starts[u] + k * spec.chunk, spec.align)
-        return pltpu.make_async_copy(
-            dchunk_buf.at[u, slot],
-            dinst_ref.at[:, pl.ds(offset, spec.chunk)],
-            out_sems.at[u, slot])
+    def out_copies(k, slot):
+        out = []
+        for u in range(nmemb):
+            if nmemb == 1:
+                # single-member mode (chunk > align possible): the final partial
+                # chunk's write may spill past this tile's range into the NEXT
+                # tile's slots with zero gradients; the grid runs tiles in order
+                # and the epilogue drains all writes, so the owning tile's later
+                # write always lands last — the spill is overwritten
+                off = pl.multiple_of(starts[u] + k * cw, spec.align)
+            else:
+                # fused mode (chunk == align): overrun chunks of a shorter
+                # member land in the sacrificial tail, never in live slots
+                off = jnp.where(k < nchunk_l[u], starts[u] + k * cw, read_cap)
+                off = pl.multiple_of(off, spec.align)
+            out.append(pltpu.make_async_copy(
+                dchunk_buf.at[slot, :, pl.ds(u * cw, cw)],
+                dinst_ref.at[:, pl.ds(off, cw)],
+                out_sems.at[slot, u]))
+        return out
 
-    for u in range(nmemb):
-        @pl.when(nchunk_l[u] > 0)
-        def _(u=u):
-            in_copy(u, 0, 0).start()
-        flag_ref[u] = jnp.where(nchunk_l[u] > 0, 1, 0)
-        wcount_ref[u] = 0
+    @pl.when(nmax > 0)
+    def _():
+        for c in in_copies(0, 0):
+            c.start()
+
+    flag_ref[0] = jnp.where(nmax > 0, 1, 0)
+    wcount_ref[0] = 0
 
     gprec = (jax.lax.Precision.DEFAULT if spec.grad_precision == "bf16"
              else MM_PRECISION)
 
-    def _bwd_chunk(u, k, slot):
-        data = chunk_buf[u, slot]
-        alpha, gexp, dx, dy, keep = _chunk_alpha(data, px_l[u], py_l[u])
-        # mask lanes past this tile's true count (they hold the next tile's
-        # instances); every gradient they produce then vanishes identically
-        lane_m = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
-        in_tile = lane_m < counts[u] - k * spec.chunk
-        alpha = jnp.where(in_tile, alpha, 0.0)
-        keep = keep & in_tile
-        prefix = prefix_ref[u, :, :]
-        t_carry = t_ref[u, :, :]
-        done = done_ref[u, :, :] > 0.0
-        eff, w, t_excl, t_new, done_new = _blend_state(alpha, t_carry, done,
-                                                        precision=gprec)
+    def _bwd_chunk(k, slot):
+        data = chunk_buf[slot]
+        limv = _joint_row([counts[u] - k * cw for u in range(nmemb)],
+                          row_io, cw, jnp.int32)
+        alpha, gexp, keep = _chunk_alpha(data, px_j, py_j, lane_loc, limv)
+        tc = [t_ref[u, :, :] for u in range(nmemb)]
+        t_carry_j = _joint_cols(tc, lane, cw)
+        w, t_excl, included, t_incl = _blend_core_joint(
+            alpha, t_carry_j, lane_loc, cw, nmemb, precision=gprec)
 
         if spec.grad_mode == "feature":
             # feature phase: only d(language_feature) is needed — the geometric
             # chain (gdot/suffix/dalpha/moments) is skipped entirely; w is the
             # only residual the feature gradient uses
-            nf = spec.num_feat
-            d_feat = jax.lax.dot_general(
-                gout_ref[u, :, 3:3 + nf], w,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=gprec,
-                preferred_element_type=jnp.float32)            # [nf, C]
+            dfj = jax.lax.dot_general(
+                xf, w, dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=gprec, preferred_element_type=jnp.float32)  # [nf*m, J]
 
             @pl.when(k >= 2)
             def _():
-                out_copy(u, k - 2, slot).wait()
+                for c in out_copies(k - 2, slot):
+                    c.wait()
 
-            dchunk_buf[u, slot, 0:D_BASE, :] = jnp.zeros(
-                (D_BASE, spec.chunk), f32)
-            dchunk_buf[u, slot, D_BASE:D_BASE + nf, :] = d_feat
+            dchunk_buf[slot, 0:D_BASE, :] = jnp.zeros((D_BASE, jw), f32)
+            if nmemb == 1:
+                dchunk_buf[slot, D_BASE:D_BASE + nf, :] = dfj
+            else:
+                for u in range(nmemb):
+                    dchunk_buf[slot, D_BASE:D_BASE + nf,
+                               u * cw:(u + 1) * cw] = (
+                        dfj[u * nf:(u + 1) * nf, u * cw:(u + 1) * cw])
             if spec.rows > D_BASE + nf:
-                dchunk_buf[u, slot, D_BASE + nf:, :] = jnp.zeros(
-                    (spec.rows - D_BASE - nf, spec.chunk), f32)
-            out_copy(u, k, slot).start()
-            wcount_ref[u] = k + 1
-            t_ref[u, :, :] = t_new
-            done_ref[u, :, :] = jnp.where(done_new, 1.0, 0.0)
+                dchunk_buf[slot, D_BASE + nf:, :] = jnp.zeros(
+                    (spec.rows - D_BASE - nf, jw), f32)
+            for c in out_copies(k, slot):
+                c.start()
+            wcount_ref[0] = k + 1
+            for u in range(nmemb):
+                m_incl = jnp.min(t_incl[:, u * cw:(u + 1) * cw], axis=1,
+                                 keepdims=True)
+                t_ref[u, :, :] = jnp.where(m_incl < TERM_EPS, 0.0, m_incl)
             return
 
-        # gdot[p, i] = sum_ch g_ch[p] * attr_ch[i]
+        # gdot[p, i] = sum_ch g_ch[p] * attr_ch[i], via the member-blocked basis
+        # against a block-diagonal stack of the members' color/feature rows
+        if nmemb == 1:
+            yg = data[ROW_R:ROW_R + ncol, :]
+        else:
+            zrow = jnp.zeros((8 - ncol, jw), f32)
+            yg = jnp.concatenate(
+                [jnp.concatenate([data[ROW_R:ROW_R + ncol, :] * hm_l[u], zrow],
+                                 axis=0) for u in range(nmemb)],
+                axis=0)                                        # [8*m, J]
         gdot = jax.lax.dot_general(
-            g_blend_l[u], data[ROW_R:ROW_R + ncol, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=gprec,
-            preferred_element_type=jnp.float32)                # [P, C]
+            xg, yg, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=gprec, preferred_element_type=jnp.float32)   # [P, J]
         contrib = w * gdot
-        prefix_incl = prefix + _cumsum_lanes(contrib, precision=gprec)
-        suffix = total_l[u] - prefix_incl
-        live = (eff > 0.0) & keep
-        dalpha = jnp.where(
-            live,
-            t_excl * gdot - (suffix + tail_l[u]) / (1.0 - eff + 1e-20),
-            0.0)
+        # per-half prefix/suffix (the cumsum and the [P,1] member carries live
+        # per lane-half); (suffix + tail) joins for the joint dalpha row
+        st_l, pnew_l = [], []
+        for u in range(nmemb):
+            sl = slice(u * cw, (u + 1) * cw)
+            pi = prefix_ref[u, :, :] + _cumsum_lanes(contrib[:, sl],
+                                                     precision=gprec)
+            st_l.append((total_l[u] - pi) + tail_l[u])
+            pnew_l.append(jnp.sum(contrib[:, sl], axis=1, keepdims=True))
+        st_j = st_l[0] if nmemb == 1 else jnp.concatenate(st_l, axis=1)
+        # live == (eff > 0) & keep in the old formulation: alpha > 0 iff keep,
+        # and eff = alpha gated on `included`; on live lanes 1 - eff == 1 - alpha,
+        # which the ALPHA_MAX clamp bounds away from 0 (>= 0.01), so no guard
+        live = keep & included
+        dalpha = jnp.where(live, t_excl * gdot - st_j / (1.0 - alpha), 0.0)
 
         # chain: alpha = min(0.99, opa * gexp); clamped -> zero grad (jnp semantics)
         opa = data[ROW_OPA:ROW_OPA + 1, :]
         dag = jnp.where((opa * gexp) < ALPHA_MAX, dalpha, 0.0)
         dpower = dag * alpha
         # All six per-instance reductions are sums over pixels of dpower times a
-        # polynomial of degree <=2 in (dx, dy) = ((px'-mx'), (py'-my')), so they factor
-        # through the moments of dpower against the loop-invariant pixel basis — ONE
-        # MXU contraction instead of ~25 VPU passes + 6 sublane reductions. d_opa uses
-        # dag*gexp == dpower/opa (exact where unclamped; both sides 0 elsewhere).
-        mom = jax.lax.dot_general(
-            pbasis_l[u], dpower,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=gprec,
-            preferred_element_type=jnp.float32)                # [8, C]
-        m0 = mom[0:1, :]
-        m_x = mom[1:2, :]
-        m_y = mom[2:3, :]
-        m_xx = mom[3:4, :]
-        m_xy = mom[4:5, :]
-        m_yy = mom[5:6, :]
+        # polynomial of degree <=2 in (dx, dy), so they factor through the moments
+        # of dpower against the loop-invariant pixel basis — ONE MXU contraction
+        # (per fused group) instead of ~25 VPU passes + 6 sublane reductions.
+        # d_opa uses dag*gexp == dpower/opa (exact where unclamped; both 0 else).
+        # per-member moment/d_attr contractions: their [d, chunk] results are
+        # consumed at sublane offset 0 (offset row-block slices of one big
+        # [8m, J] result triggered a Mosaic relayout fault at runtime)
+        mom_l, da_l = [], []
+        for u in range(nmemb):
+            sl = slice(u * cw, (u + 1) * cw)
+            mom_l.append(jax.lax.dot_general(
+                pb_l[u], dpower[:, sl] if nmemb > 1 else dpower,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=gprec, preferred_element_type=jnp.float32))  # [6, C]
+            da_l.append(jax.lax.dot_general(
+                gb_l[u], w[:, sl] if nmemb > 1 else w,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=gprec, preferred_element_type=jnp.float32))  # [ncol, C]
+
         ca = data[ROW_CA:ROW_CA + 1, :]
         cb = data[ROW_CB:ROW_CB + 1, :]
         cc = data[ROW_CC:ROW_CC + 1, :]
-        mxq = data[ROW_MX:ROW_MX + 1, :] - cx_l[u]             # [1, C] tile-centered
-        myq = data[ROW_MY:ROW_MY + 1, :] - cy_l[u]
-        sdx = m_x - mxq * m0                                   # sum dpower*dx
-        sdy = m_y - myq * m0
-        d_opa = jnp.where(opa > 0.0, m0 / jnp.where(opa > 0.0, opa, 1.0), 0.0)
-        d_ca = -0.5 * (m_xx - 2.0 * mxq * m_x + mxq * mxq * m0)
-        d_cb = -(m_xy - mxq * m_y - myq * m_x + mxq * myq * m0)
-        d_cc = -0.5 * (m_yy - 2.0 * myq * m_y + myq * myq * m0)
-        d_mx = ca * sdx + cb * sdy
-        d_my = cc * sdy + cb * sdx
-        # d attrs[ch, i] = sum_p g_blend[p, ch] * w[p, i]
-        d_attr = jax.lax.dot_general(
-            g_blend_l[u], w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=gprec,
-            preferred_element_type=jnp.float32)                # [ncol, C]
+        mxq = data[ROW_MX:ROW_MX + 1, :] - cx_j                # [1, J] tile-centered
+        myq = data[ROW_MY:ROW_MY + 1, :] - cy_j
 
-        # reclaim dchunk_buf[u, slot]: the write issued for chunk k-2 used this slot
+        # reclaim dchunk_buf[slot]: the writes issued for chunk k-2 used this slot
         @pl.when(k >= 2)
         def _():
-            out_copy(u, k - 2, slot).wait()
+            for c in out_copies(k - 2, slot):
+                c.wait()
 
-        dchunk_buf[u, slot, ROW_MX:ROW_MX + 1, :] = d_mx
-        dchunk_buf[u, slot, ROW_MY:ROW_MY + 1, :] = d_my
-        dchunk_buf[u, slot, ROW_CA:ROW_CA + 1, :] = d_ca
-        dchunk_buf[u, slot, ROW_CB:ROW_CB + 1, :] = d_cb
-        dchunk_buf[u, slot, ROW_CC:ROW_CC + 1, :] = d_cc
-        dchunk_buf[u, slot, ROW_OPA:ROW_OPA + 1, :] = d_opa
-        dchunk_buf[u, slot, ROW_R:ROW_R + ncol, :] = d_attr
-        if spec.rows > D_BASE + spec.num_feat:
-            dchunk_buf[u, slot, D_BASE + spec.num_feat:, :] = jnp.zeros(
-                (spec.rows - D_BASE - spec.num_feat, spec.chunk), f32)
-        out_copy(u, k, slot).start()
-        wcount_ref[u] = k + 1
-        prefix_ref[u, :, :] = prefix + jnp.sum(contrib, axis=1, keepdims=True)
-        t_ref[u, :, :] = t_new
-        done_ref[u, :, :] = jnp.where(done_new, 1.0, 0.0)
+        # per-lane-half reconstruction: the (cheap [1, chunk]) row algebra runs
+        # per half and stores straight into the member's lane block
+        for u in range(nmemb):
+            sl = slice(u * cw, (u + 1) * cw)
+            mb = mom_l[u]
+            m0 = mb[0:1, :]
+            m_x = mb[1:2, :]
+            m_y = mb[2:3, :]
+            m_xx = mb[3:4, :]
+            m_xy = mb[4:5, :]
+            m_yy = mb[5:6, :]
+            mxq_u = mxq[:, sl]
+            myq_u = myq[:, sl]
+            opa_u = opa[:, sl]
+            sdx = m_x - mxq_u * m0                             # sum dpower*dx
+            sdy = m_y - myq_u * m0
+            d_opa = jnp.where(opa_u > 0.0,
+                              m0 / jnp.where(opa_u > 0.0, opa_u, 1.0), 0.0)
+            d_ca = -0.5 * (m_xx - 2.0 * mxq_u * m_x + mxq_u * mxq_u * m0)
+            d_cb = -(m_xy - mxq_u * m_y - myq_u * m_x + mxq_u * myq_u * m0)
+            d_cc = -0.5 * (m_yy - 2.0 * myq_u * m_y + myq_u * myq_u * m0)
+            d_mx = ca[:, sl] * sdx + cb[:, sl] * sdy
+            d_my = cc[:, sl] * sdy + cb[:, sl] * sdx
+            da_u = da_l[u]
+            dchunk_buf[slot, ROW_MX:ROW_MX + 1, sl] = d_mx
+            dchunk_buf[slot, ROW_MY:ROW_MY + 1, sl] = d_my
+            dchunk_buf[slot, ROW_CA:ROW_CA + 1, sl] = d_ca
+            dchunk_buf[slot, ROW_CB:ROW_CB + 1, sl] = d_cb
+            dchunk_buf[slot, ROW_CC:ROW_CC + 1, sl] = d_cc
+            dchunk_buf[slot, ROW_OPA:ROW_OPA + 1, sl] = d_opa
+            dchunk_buf[slot, ROW_R:ROW_R + ncol, sl] = da_u
+        if spec.rows > D_BASE + nf:
+            dchunk_buf[slot, D_BASE + nf:, :] = jnp.zeros(
+                (spec.rows - D_BASE - nf, jw), f32)
+        for c in out_copies(k, slot):
+            c.start()
+        wcount_ref[0] = k + 1
+        for u in range(nmemb):
+            m_incl = jnp.min(t_incl[:, u * cw:(u + 1) * cw], axis=1, keepdims=True)
+            t_ref[u, :, :] = jnp.where(m_incl < TERM_EPS, 0.0, m_incl)
+            prefix_ref[u, :, :] = prefix_ref[u, :, :] + pnew_l[u]
 
     def body(k, _):
-        for u in range(nmemb):
-            inflight = flag_ref[u] == 1
+        @pl.when(flag_ref[0] == 1)
+        def _():
+            alive = _alive_any(t_ref, nmemb)
+            slot = jax.lax.rem(k, 2)
+            for c in in_copies(k, slot):
+                c.wait()
+            do_issue = alive & (k + 1 < nmax)
 
-            @pl.when(inflight)
-            def _(u=u):
-                alive = jnp.max(1.0 - done_ref[u, :, :]) > 0.0
-                slot = jax.lax.rem(k, 2)
-                in_copy(u, k, slot).wait()
-                do_issue = alive & (k + 1 < nchunk_l[u])
+            @pl.when(do_issue)
+            def _():
+                for c in in_copies(k + 1, jax.lax.rem(k + 1, 2)):
+                    c.start()
 
-                @pl.when(do_issue)
-                def _():
-                    in_copy(u, k + 1, jax.lax.rem(k + 1, 2)).start()
+            flag_ref[0] = jnp.where(do_issue, 1, 0)
 
-                flag_ref[u] = jnp.where(do_issue, 1, 0)
-
-                @pl.when(alive)
-                def _():
-                    _bwd_chunk(u, k, slot)
+            @pl.when(alive)
+            def _():
+                _bwd_chunk(k, slot)
 
         return ()
 
-    nmax = nchunk_l[0]
-    for u in range(1, nmemb):
-        nmax = jnp.maximum(nmax, nchunk_l[u])
     jax.lax.fori_loop(0, nmax, body, ())
 
-    # drain the last <=2 outstanding gradient writes per member
-    for u in range(nmemb):
-        wn = wcount_ref[u]
+    # drain the last <=2 outstanding gradient write groups
+    wn = wcount_ref[0]
 
-        @pl.when(wn >= 1)
-        def _(u=u, wn=wn):
-            out_copy(u, wn - 1, jax.lax.rem(wn - 1, 2)).wait()
+    @pl.when(wn >= 1)
+    def _():
+        for c in out_copies(wn - 1, jax.lax.rem(wn - 1, 2)):
+            c.wait()
 
-        @pl.when(wn >= 2)
-        def _(u=u, wn=wn):
-            out_copy(u, wn - 2, jax.lax.rem(wn - 2, 2)).wait()
+    @pl.when(wn >= 2)
+    def _():
+        for c in out_copies(wn - 2, jax.lax.rem(wn - 2, 2)):
+            c.wait()
 
-
-# ---------------------------------------------------------------------------
-# pallas_call wrappers + custom VJP
-# ---------------------------------------------------------------------------
 
 def _pad_sched(aligned_start, spec: BlendSpec, nmemb: int):
     """[starts (NT+1) | counts (NT)] -> padded [starts (NT'+1) | counts (NT')]."""
@@ -824,11 +1000,15 @@ def _pad_sched(aligned_start, spec: BlendSpec, nmemb: int):
     return jnp.concatenate([starts, counts])
 
 
-# Independent tiles processed per grid step: their serial per-chunk latency chains
-# (DMA waits + ~6 MXU issues each, ~2-5us) interleave, and the per-grid-step
-# pipeline overhead amortizes (the bwd kernel's empty-work floor measured ~5.4us
-# per step on v5e). Env-tunable for on-chip A/B (scripts/profile_stages.py).
-NMEMB = int(__import__("os").environ.get("LANGSPLAT_NMEMB", 2))
+# Tiles lane-fused per grid step (see the kernel section header): joint vector
+# ops amortize per-issue fixed costs across members. Env-tunable for on-chip A/B
+# (scripts/profile_stages.py).
+try:
+    NMEMB = int(__import__("os").environ.get("LANGSPLAT_NMEMB", 4))
+except ValueError as _e:
+    raise ValueError(
+        f"LANGSPLAT_NMEMB must be an integer (lane-fused tiles per grid step), "
+        f"got {__import__('os').environ.get('LANGSPLAT_NMEMB')!r}") from _e
 
 
 def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
@@ -842,11 +1022,11 @@ def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
         out_specs=pl.BlockSpec((nmemb, spec.pixels, spec.out_channels),
                                lambda t, s: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((nmemb, 2, spec.rows, spec.fwd_chunk), jnp.float32),
-            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # t_carry
-            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # done latch
-            pltpu.SMEM((nmemb,), jnp.int32),             # copy-in-flight flags
-            pltpu.SemaphoreType.DMA((nmemb, 2)),
+            pltpu.VMEM((2, spec.rows, nmemb * spec.fwd_chunk), jnp.float32),
+            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # t_carry (0 = done)
+            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # final-T latch
+            pltpu.SMEM((1,), jnp.int32),                 # copy-in-flight flag
+            pltpu.SemaphoreType.DMA((2, nmemb)),
         ],
     )
     out = pl.pallas_call(
@@ -885,15 +1065,14 @@ def _bwd_call(packed, aligned_start, g_out, residuals, spec: BlendSpec, interpre
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((nmemb, 2, spec.rows, spec.chunk), jnp.float32),  # in bufs
-            pltpu.VMEM((nmemb, 2, spec.rows, spec.chunk), jnp.float32),  # out bufs
+            pltpu.VMEM((2, spec.rows, nmemb * spec.chunk), jnp.float32),  # in bufs
+            pltpu.VMEM((2, spec.rows, nmemb * spec.chunk), jnp.float32),  # out bufs
             pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # prefix carry
-            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # t_carry
-            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # done latch
-            pltpu.SMEM((nmemb,), jnp.int32),             # copy-in-flight flags
-            pltpu.SMEM((nmemb,), jnp.int32),             # issued-write counts
-            pltpu.SemaphoreType.DMA((nmemb, 2)),
-            pltpu.SemaphoreType.DMA((nmemb, 2)),
+            pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # t_carry (0 = done)
+            pltpu.SMEM((1,), jnp.int32),                 # copy-in-flight flag
+            pltpu.SMEM((1,), jnp.int32),                 # issued-write count
+            pltpu.SemaphoreType.DMA((2, nmemb)),
+            pltpu.SemaphoreType.DMA((2, nmemb)),
         ],
     )
     zeros = jnp.zeros_like(packed)

@@ -165,7 +165,19 @@ def make_depth_sharded_render(mesh: Mesh, settings: RenderSettings,
     and the scan composition back to every field parameter (the all_gather /
     replicated-input transposes become the parameter psum).
     """
-    return jax.jit(_make_mapped_render(mesh, settings, axis))
+    key = (mesh, settings, axis)
+    hit = _RENDER_CACHE.get(key)
+    if hit is None:
+        hit = jax.jit(_make_mapped_render(mesh, settings, axis))
+        _RENDER_CACHE[key] = hit
+    return hit
+
+
+# jax.jit caches by function identity, so rebuilding the shard_map closure on
+# every call would recompile even with unchanged settings; keyed on the
+# (hashable) mesh + frozen settings + axis, steady-state callers — including
+# depth_sharded_render_full's retry loop — hit the compile cache
+_RENDER_CACHE: dict = {}
 
 
 def depth_sharded_render_full(mesh: Mesh, settings: RenderSettings, field,

@@ -71,7 +71,7 @@ def main():
     steps = int(os.environ.get("PROF_STEPS", 5))
     ts = int(os.environ.get("PROF_TS", 16))
     chunk = int(os.environ.get("PROF_CHUNK", 128))
-    fwd_mult = int(os.environ.get("PROF_FWD_MULT", 2))
+    fwd_mult = int(os.environ.get("PROF_FWD_MULT", 1))
     budget_factor = os.environ.get("PROF_BUDGET_FACTOR")  # None => adaptive like bench
     budget = int(float(budget_factor) * n) if budget_factor else None
     fov = 0.9

@@ -634,13 +634,17 @@ def stage_report(ws, out_path):
     # even when size-pruning brings the final count back near the init
     npat = re.compile(r"iter (\d+): \S+ n=(\d+)")
     traj = {}
-    with open(ws_path(ws, "phaseA.log")) as fh:
-        for line in fh:
-            m = npat.search(line)
-            if m:
-                traj[int(m.group(1))] = int(m.group(2))
+    try:
+        with open(ws_path(ws, "phaseA.log")) as fh:
+            for line in fh:
+                m = npat.search(line)
+                if m:
+                    traj[int(m.group(1))] = int(m.group(2))
+    except FileNotFoundError:
+        pass  # partial workspace (e.g. --stages render,evalrun,report)
     n_curve = [{"iter": it, "n": traj[it]}
-               for it in sorted(traj) if it % 500 == 0 or it == max(traj)]
+               for it in sorted(traj) if it % 500 == 0 or it == max(traj)] \
+        if traj else []
     n_peak = max(traj.values()) if traj else None
     report = {
         "protocol": "self-consistency synthetic-COLMAP scene, full "
