@@ -39,6 +39,15 @@ def add_pipeline_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--depth_shards", type=int, default=0,
                    help="feature-phase training over a depth-rank sharded "
                         "mesh of this many devices (ring/blockwise analog)")
+    p.add_argument("--data_shards", type=int, default=0,
+                   help="phase-A data-parallel training over this many devices "
+                        "(one view per device per step; grads + densify stats "
+                        "all-reduced over ICI)")
+    p.add_argument("--zero2", action="store_true",
+                   help="with --data_shards: shard Adam moments over the data "
+                        "axis (ZeRO-2 reduce-scatter/all-gather step)")
+    p.add_argument("--dp_views_per_device", type=int, default=1,
+                   help="with --data_shards: views per device per step")
 
 
 def add_optimization_args(p: argparse.ArgumentParser) -> None:
@@ -92,7 +101,10 @@ def extract_configs(args) -> TrainConfig:
         budget_factor=getattr(args, "budget_factor", 6),
         allow_budget_truncation=getattr(args, "allow_budget_truncation", False),
         interpret=getattr(args, "interpret", False),
-        depth_shards=getattr(args, "depth_shards", 0))
+        depth_shards=getattr(args, "depth_shards", 0),
+        data_shards=getattr(args, "data_shards", 0),
+        zero2=getattr(args, "zero2", False),
+        dp_views_per_device=getattr(args, "dp_views_per_device", 1))
     okw = {}
     for f in OptimizationConfig.__dataclass_fields__:
         if hasattr(args, f):

@@ -54,6 +54,20 @@ class PipelineConfig:
                                        # analog, parallel/depth_sharded.py): >1
                                        # shards the instance stream across that
                                        # many devices; 0/1 = single-device
+    data_shards: int = 0               # phase-A training data-parallel over a
+                                       # view-sharded mesh (parallel/
+                                       # data_parallel.py): >1 renders that many
+                                       # views per optimizer step (one per
+                                       # device), psums grads/densify stats over
+                                       # ICI, and runs densification + opacity
+                                       # resets + capacity growth on the
+                                       # replicated state; 0/1 = single-device
+    zero2: bool = False                # with data_shards: shard the Adam moments
+                                       # over the data axis (ZeRO-2); capacity
+                                       # rounds up to a mesh-divisible size
+    dp_views_per_device: int = 1       # with data_shards: views per device per
+                                       # step (microbatch; total batch =
+                                       # data_shards * dp_views_per_device)
 
 
 @dataclass

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from langsplat_tpu.core import losses
 from langsplat_tpu.models.gaussian_field import GaussianField
 from langsplat_tpu.ops.render import RenderSettings, render
-from langsplat_tpu.train.densify import DensifyStats, update_stats
+from langsplat_tpu.train.densify import DensifyStats
 from langsplat_tpu.train.trainer import extract_params, merge_params
 
 
@@ -32,6 +32,8 @@ class DpStepOutput(NamedTuple):
     opt_state: object
     stats: DensifyStats
     loss: jnp.ndarray
+    dropped: jnp.ndarray       # [] int32, summed over views/devices
+    rect_dropped: jnp.ndarray  # [] int32
 
 
 def make_dp_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
@@ -62,14 +64,20 @@ def make_dp_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
 
     def shard_fn(field, opt_state, stats, viewmats, projmats, campos, gts, masks, bg):
         params = extract_params(field, include_feature)
-        zeros2d = jnp.zeros((field.capacity, 2), jnp.float32)
+        v_local = viewmats.shape[0]
+        # PER-VIEW screenspace offsets: the densify stat is the reference's
+        # per-view accumulation (sum over views of ||dL_v/dmean2D_v||, denom +=
+        # visible per view — train.py:125-126) — a shared offset would only
+        # recover the norm of the SUM across views, which under-fires the
+        # densify threshold as random view directions cancel
+        zeros3d = jnp.zeros((v_local, field.capacity, 2), jnp.float32)
 
         def loss_fn(p, ss):
             f = merge_params(field, p)
 
-            def one_view(view, proj, cpos, gt, mask):
+            def one_view(view, proj, cpos, gt, mask, ss_v):
                 out = render(f, settings, view, proj, cpos, bg,
-                             screenspace_offset=ss)
+                             screenspace_offset=ss_v)
                 if include_feature:
                     local = losses.masked_l1_loss(out["language_feature_image"],
                                                   gt, mask)
@@ -77,20 +85,35 @@ def make_dp_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
                     l1 = losses.l1_loss(out["render"], gt)
                     local = ((1.0 - lambda_dssim) * l1 + lambda_dssim *
                              (1.0 - losses.ssim(out["render"], gt)))
-                return local, (out["visibility_filter"], out["radii"])
+                return local, (out["visibility_filter"], out["radii"],
+                               out["instances_dropped"], out["rect_dropped"])
 
-            per_view, aux = jax.vmap(one_view)(viewmats, projmats, campos, gts, masks)
+            per_view, aux = jax.vmap(one_view)(viewmats, projmats, campos, gts,
+                                               masks, ss)
             return jnp.mean(per_view), aux
 
-        (local_loss, (vis, radii)), (grads, ss_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(params, zeros2d)
+        (local_loss, (vis, radii, drop_v, rect_v)), (grads, ss_grad) =             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, zeros3d)
 
-        # ICI reductions: the means2D stat tap and visibility are summed so
-        # densification sees every view (reference accumulates per view)
+        # ICI reductions; loss is the mean over the whole view batch
         loss = jax.lax.pmean(local_loss, axis)
-        ss_grad = jax.lax.psum(ss_grad, axis)
-        any_vis = jax.lax.psum(jnp.any(vis, axis=0).astype(jnp.int32), axis) > 0
-        max_radii = jax.lax.pmax(jnp.max(radii, axis=0), axis)
+        dropped = jax.lax.psum(jnp.sum(drop_v), axis)
+        rect_dropped = jax.lax.psum(jnp.sum(rect_v), axis)
+        # stat tap in the reference's per-view half-image units: each view's
+        # gradient norm enters separately; the local loss is the mean over the
+        # LOCAL views only (the device pmean happens after differentiation), so
+        # v_local undoes exactly the factor the grad carries and the
+        # densify_grad_threshold keeps its single-view calibration
+        # (arguments/__init__.py:92)
+        stat_scale = jnp.asarray([0.5 * settings.image_width,
+                                  0.5 * settings.image_height], jnp.float32)
+        gnorm_v = jnp.linalg.norm(ss_grad[:, :, :2] * stat_scale,
+                                  axis=-1) * v_local          # [v_local, cap]
+        visf = vis.astype(jnp.float32)
+        gnorm_sum = jax.lax.psum(jnp.sum(gnorm_v * visf, axis=0), axis)
+        denom_sum = jax.lax.psum(jnp.sum(visf, axis=0), axis)
+        max_radii = jax.lax.pmax(jnp.max(
+            jnp.where(vis, radii.astype(jnp.float32), 0.0), axis=0), axis)
 
         if zero2:
             # reduce-scatter the grads along the parameter-row axis: each device
@@ -115,9 +138,12 @@ def make_dp_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
         new_field = merge_params(field, new_params)
-        new_stats = update_stats(stats, ss_grad, any_vis, max_radii,
-                                 settings.image_width, settings.image_height)
-        return DpStepOutput(new_field, new_opt_state, new_stats, loss)
+        new_stats = DensifyStats(
+            grad_accum=stats.grad_accum + gnorm_sum,
+            denom=stats.denom + denom_sum,
+            max_radii2d=jnp.maximum(stats.max_radii2d, max_radii))
+        return DpStepOutput(new_field, new_opt_state, new_stats, loss,
+                            dropped, rect_dropped)
 
     rep = P()
     sh = P(axis)
@@ -129,7 +155,7 @@ def make_dp_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(rep, opt_specs, rep, sh, sh, sh, sh, sh, rep),
-        out_specs=DpStepOutput(rep, opt_specs, rep, rep),
+        out_specs=DpStepOutput(rep, opt_specs, rep, rep, rep, rep),
         check_vma=False,
     )
     return jax.jit(mapped)

@@ -27,7 +27,7 @@ from langsplat_tpu.core import losses
 from langsplat_tpu.models.gaussian_field import GaussianField
 from langsplat_tpu.ops.render import RenderSettings
 from langsplat_tpu.parallel.spatial import band_height, render_band
-from langsplat_tpu.train.densify import DensifyStats, update_stats
+from langsplat_tpu.train.densify import DensifyStats
 from langsplat_tpu.train.trainer import extract_params, merge_params
 
 
@@ -61,14 +61,17 @@ def make_dp_spatial_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
         band = jax.lax.axis_index(tile_axis)
         y0 = band * bh
         params = extract_params(field, include_feature)
-        zeros2d = jnp.zeros((field.capacity, 2), jnp.float32)
+        v_local = viewmats.shape[0]
+        # per-view screenspace offsets: see data_parallel.make_dp_train_step —
+        # the densify stat is the reference's per-view accumulation
+        zeros3d = jnp.zeros((v_local, field.capacity, 2), jnp.float32)
 
         def loss_fn(p, ss):
             f = merge_params(field, p)
 
-            def one_view(view, proj, cpos, gt, mask):
+            def one_view(view, proj, cpos, gt, mask, ss_v):
                 out = render_band(f, settings, band, n_bands, view, proj, cpos,
-                                  bg, screenspace_offset=ss)
+                                  bg, screenspace_offset=ss_v)
                 gt_band = jax.lax.dynamic_slice_in_dim(
                     _pad_rows(gt, padded_h), y0, bh, axis=1)
                 # rows past the true image are padded on BOTH sides: render_band
@@ -89,7 +92,7 @@ def make_dp_spatial_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
                 return local, (out["visibility_filter"], out["radii"])
 
             per_view, aux = jax.vmap(one_view)(viewmats, projmats, campos,
-                                               gts, masks)
+                                               gts, masks, ss)
             # bands past the true image contribute zero loss but still count in the
             # band pmean; rescale so the mean of band losses equals the full-image
             # per-pixel mean
@@ -97,28 +100,37 @@ def make_dp_spatial_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
             return jnp.mean(per_view) * scale, aux
 
         (local_loss, (vis, radii)), (grads, ss_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(params, zeros2d)
+            loss_fn, argnums=(0, 1), has_aux=True)(params, zeros3d)
 
         # two-axis ICI reduction: grads/loss average over views AND bands; the
         # means2D stat tap and visibility are summed/maxed so densification sees
         # every view and every band (reference accumulates per view)
         grads = jax.lax.pmean(jax.lax.pmean(grads, tile_axis), data_axis)
         loss = jax.lax.pmean(jax.lax.pmean(local_loss, tile_axis), data_axis)
-        # band psums reassemble to n_bands x the per-view means2D gradient (the
-        # loss rescale cancels the band/image pixel-count ratio exactly)
-        ss_grad = jax.lax.psum(jax.lax.psum(ss_grad, tile_axis),
-                               data_axis) / n_bands
-        any_vis = jax.lax.psum(
-            jax.lax.psum(jnp.any(vis, axis=0).astype(jnp.int32), tile_axis),
-            data_axis) > 0
+        # band psums reassemble each VIEW's full means2D gradient first (the
+        # loss rescale cancels the band/image pixel-count ratio exactly); the
+        # per-view norms then accumulate in the reference's per-view half-image
+        # units, with the local-mean 1/v_local undone (see data_parallel)
+        ss_grad = jax.lax.psum(ss_grad, tile_axis) / n_bands  # [v_local, cap, 2]
+        stat_scale = jnp.asarray([0.5 * settings.image_width,
+                                  0.5 * settings.image_height], jnp.float32)
+        gnorm_v = jnp.linalg.norm(ss_grad[:, :, :2] * stat_scale,
+                                  axis=-1) * v_local
+        vis_any_band = jax.lax.psum(vis.astype(jnp.int32), tile_axis) > 0
+        visf = vis_any_band.astype(jnp.float32)
+        gnorm_sum = jax.lax.psum(jnp.sum(gnorm_v * visf, axis=0), data_axis)
+        denom_sum = jax.lax.psum(jnp.sum(visf, axis=0), data_axis)
         max_radii = jax.lax.pmax(
-            jax.lax.pmax(jnp.max(radii, axis=0), tile_axis), data_axis)
+            jax.lax.pmax(jnp.max(jnp.where(vis, radii.astype(jnp.float32), 0.0),
+                                 axis=0), tile_axis), data_axis)
 
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_field = merge_params(field, new_params)
-        new_stats = update_stats(stats, ss_grad, any_vis, max_radii,
-                                 settings.image_width, settings.image_height)
+        new_stats = DensifyStats(
+            grad_accum=stats.grad_accum + gnorm_sum,
+            denom=stats.denom + denom_sum,
+            max_radii2d=jnp.maximum(stats.max_radii2d, max_radii))
         return DpSpatialStepOutput(new_field, new_opt_state, new_stats, loss)
 
     rep = P()

@@ -218,14 +218,19 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
     train_cams = scene.get_train_cameras()
     cur_epoch, epoch_order = -1, []
 
-    def cam_at(iteration: int):
+    def schedule_cam(idx: int):
+        """Camera at absolute schedule position idx (epoch-shuffled, pure in
+        (seed, idx)); returns (camera, within-epoch position)."""
         nonlocal cur_epoch, epoch_order
-        epoch, pos = divmod(iteration - 1, len(train_cams))
+        epoch, pos = divmod(idx, len(train_cams))
         if epoch != cur_epoch:
             epoch_order = list(range(len(train_cams)))
             random.Random(cfg.seed * 1_000_003 + epoch).shuffle(epoch_order)
             cur_epoch = epoch
         return train_cams[epoch_order[pos]], pos
+
+    def cam_at(iteration: int):
+        return schedule_cam(iteration - 1)
 
     timer = Timer()
     history: list[float] = []
@@ -254,6 +259,41 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
             depth_steps[settings] = make_depth_sharded_feature_step(
                 depth_mesh, settings, optimizer)
         return depth_steps[settings]
+
+    # Data-parallel phase A (the reference's train.py:121-133 densification
+    # dynamic composed with a view-sharded mesh): each step renders one view
+    # per device, psums grads + densify stats over ICI, and the host-side
+    # densify/prune/reset/capacity-growth surgery runs on the replicated
+    # (zero2: gathered-row) state exactly as the single-device loop.
+    data_mesh = None
+    dp_steps: dict = {}
+    dp_ndev = max(pipe.data_shards, 1)
+    dp_batch = dp_ndev * max(pipe.dp_views_per_device, 1)
+    if not include_feature and pipe.data_shards > 1:
+        from langsplat_tpu.parallel.mesh import make_mesh
+        data_mesh = make_mesh(pipe.data_shards, axis_names=("data",))
+        if pipe.zero2:
+            from langsplat_tpu.parallel.data_parallel import shard_opt_state
+            if field.capacity % dp_ndev:
+                old_cap = field.capacity
+                new_cap = -(-old_cap // dp_ndev) * dp_ndev
+                field = grow_capacity(field, new_cap)
+                opt_state = pad_opt_state(opt_state, old_cap, new_cap)
+                stats = dn.DensifyStats.zeros(new_cap)
+            opt_state = shard_opt_state(data_mesh, opt_state, field.capacity)
+        logger.log(f"phase A data-parallel over {dp_ndev} devices"
+                   + (" (ZeRO-2 optimizer sharding)" if pipe.zero2 else ""))
+
+    def dp_step_for(settings, capacity, opt_state):
+        key = (settings, capacity)
+        if key not in dp_steps:
+            from langsplat_tpu.parallel.data_parallel import make_dp_train_step
+            dp_steps[key] = make_dp_train_step(
+                data_mesh, settings, optimizer, include_feature=False,
+                lambda_dssim=ocfg.lambda_dssim, zero2=pipe.zero2,
+                capacity=capacity if pipe.zero2 else None,
+                opt_state_template=opt_state if pipe.zero2 else None)
+        return dp_steps[key]
 
     trace_active = False
     for iteration in range(first_iter + 1, ocfg.iterations + 1):
@@ -288,13 +328,31 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         if iteration % 1000 == 0 and active_sh_degree < mcfg.sh_degree:
             active_sh_degree += 1
 
-        cam, epoch_pos = cam_at(iteration)
-        if prefetcher is not None and epoch_pos + 1 < len(train_cams):
-            prefetcher.schedule(train_cams[epoch_order[epoch_pos + 1]])
-
-        view = jnp.asarray(cam.world_view_transform)
-        proj = jnp.asarray(cam.full_proj_transform)
-        campos = jnp.asarray(cam.camera_center)
+        if data_mesh is not None:
+            dp_cams = [schedule_cam((iteration - 1) * dp_batch + j)[0]
+                       for j in range(dp_batch)]
+            cam = dp_cams[0]
+            for c in dp_cams[1:]:
+                if (c.height, c.width) != (cam.height, cam.width):
+                    raise ValueError(
+                        "data-parallel phase A requires uniform image sizes "
+                        f"across the view batch, got {c.height}x{c.width} vs "
+                        f"{cam.height}x{cam.width}")
+            dp_views = jnp.stack([jnp.asarray(c.world_view_transform)
+                                  for c in dp_cams])
+            dp_projs = jnp.stack([jnp.asarray(c.full_proj_transform)
+                                  for c in dp_cams])
+            dp_cpos = jnp.stack([jnp.asarray(c.camera_center)
+                                 for c in dp_cams])
+            dp_gts = jnp.stack([jnp.asarray(c.image) for c in dp_cams])
+            dp_masks = jnp.ones((dp_batch, 1, 1, 1))
+        else:
+            cam, epoch_pos = cam_at(iteration)
+            if prefetcher is not None and epoch_pos + 1 < len(train_cams):
+                prefetcher.schedule(train_cams[epoch_order[epoch_pos + 1]])
+            view = jnp.asarray(cam.world_view_transform)
+            proj = jnp.asarray(cam.full_proj_transform)
+            campos = jnp.asarray(cam.camera_center)
 
         timer.start()
         while True:
@@ -314,6 +372,13 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                         field, opt_state, stats, view, proj, campos,
                         gt_feat, gt_mask, bg,
                         settings=settings, optimizer=optimizer)
+            elif data_mesh is not None:
+                dpo = dp_step_for(settings, field.capacity, opt_state)(
+                    field, opt_state, stats, dp_views, dp_projs, dp_cpos,
+                    dp_gts, dp_masks, bg)
+                out = tr.StepOutput(dpo.field, dpo.opt_state, dpo.stats,
+                                    dpo.loss, dpo.loss, jnp.zeros(()),
+                                    dpo.dropped, dpo.rect_dropped)
             else:
                 out = tr.train_step_rgb(
                     field, opt_state, stats, view, proj, campos,
@@ -387,10 +452,19 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                 if int(res.overflow) > 0:
                     old_cap = field.capacity
                     new_cap = int(old_cap * ocfg.capacity_growth_factor)
+                    if data_mesh is not None and pipe.zero2:
+                        new_cap = -(-new_cap // dp_ndev) * dp_ndev
                     logger.log(f"[iter {iteration}] capacity {old_cap} -> {new_cap} "
                                f"(overflow {int(res.overflow)})")
                     field = grow_capacity(field, new_cap)
                     opt_state = pad_opt_state(opt_state, old_cap, new_cap)
+                    if data_mesh is not None and pipe.zero2:
+                        # re-lay the padded moment rows out over the data axis
+                        # (pad_opt_state produced an unsharded-tail layout)
+                        from langsplat_tpu.parallel.data_parallel import (
+                            shard_opt_state)
+                        opt_state = shard_opt_state(data_mesh, opt_state,
+                                                    new_cap)
                     stats = dn.DensifyStats.zeros(new_cap)
                 logger.scalar("total_points", int(res.num_alive), iteration)
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Mid-scale end-to-end QUALITY run on the chip -> QUALITY_r03.json.
+"""Mid-scale end-to-end QUALITY run on the chip -> QUALITY_r04.json.
 
 Exercises the exact process.sh pipeline shape (reference `process.sh` +
 `eval/eval.sh`) on a procedurally generated mid-scale scene with known semantics:
@@ -20,7 +20,7 @@ Exercises the exact process.sh pipeline shape (reference `process.sh` +
   evalrun  eval_cli -> LERF IoU/localization protocol against labelme GT derived
            from the GT object masks, with precomputed text embeddings
            (the object embedding table itself; negatives are fixed random vectors).
-  report   QUALITY_r02.json at the repo root.
+  report   QUALITY_r04.json at the repo root.
 
 GT masks/annotations come from indicator-feature renders of the GT field: the
 per-pixel blend weight of each object's Gaussians (3 channels per pass), argmaxed.
@@ -53,17 +53,20 @@ sys.path.insert(0, REPO)
 class P:
     """Run parameters (full-scale defaults; --smoke shrinks everything)."""
     scene = "synthroom"
-    width, height = 640, 480
-    focal = 600.0
+    # reference protocol resolution class (README.md:58-59 trains at 1080p-class
+    # after the -1 auto-downscale, utils/camera_utils.py:25-37)
+    width, height = 960, 720
+    focal = 900.0
     n_cams = 40
     n_objects = 6
     floor_pts = 40_000
     obj_pts = 12_000
     init_pts = 28_000
     embed_dim = 512
-    # phase A
-    iters_a = 10_000
-    densify_until = 6_000
+    # phase A at the reference iteration protocol
+    # (/root/reference/arguments/__init__.py:76: 30k iters, densify until 15k)
+    iters_a = 30_000
+    densify_until = 15_000
     test_every = 1_000
     # Reference default (arguments/__init__.py:92). The round-3 death-spiral
     # investigation (28k -> 150 Gaussians: post-reset size-prune removing
@@ -73,7 +76,7 @@ class P:
     # and 2e-4 is calibrated to those — fixed in train/densify.update_stats.
     densify_grad_threshold = 2e-4
     # phase B
-    iters_b = 3_000
+    iters_b = 5_000
     # the synthetic per-object embeddings are near-orthogonal random 512-d
     # vectors — harder to compress to 3-d than real CLIP features, and the
     # GT-feature eval oracle only clears ~0.76 mIoU once the AE has fully
@@ -303,18 +306,34 @@ def stage_scene(ws):
     lf_dir = os.path.join(root, "language_features")
     os.makedirs(lf_dir, exist_ok=True)
 
-    # per-object 512-d embeddings (the "CLIP" table); parts get distinct embeddings
+    # hierarchical 512-d embedding table (the "CLIP" table): objects, 2 parts
+    # per object (z halves), 4 subparts per part... noise scales chosen so a
+    # child correlates with its parent (cos ~0.5/0.6 — real CLIP crops of a
+    # part resemble the object) yet every level is clearly distinct: the
+    # best-of-levels eval selection must pick level 2 for part prompts and
+    # level 3 for whole-object prompts (VERDICT r03 #4a: the previous scene
+    # emitted duplicate m/l levels, leaving that mechanism untested)
     embeds = rng.normal(size=(n_lab, P.embed_dim)).astype(np.float32)
     embeds /= np.linalg.norm(embeds, axis=1, keepdims=True)
     part_embeds = []
     for k in range(n_lab):
         for half in range(2):
-            e = embeds[k] + 0.25 * rng.normal(size=P.embed_dim).astype(np.float32)
+            e = embeds[k] + 0.08 * rng.normal(size=P.embed_dim).astype(np.float32)
             part_embeds.append(e / np.linalg.norm(e))
     part_embeds = np.asarray(part_embeds, np.float32)
-    # part id per gaussian: 2*label + (above object-center z)
+    sub_embeds = []
+    for pid in range(2 * n_lab):
+        for q in range(2):
+            e = (part_embeds[pid]
+                 + 0.06 * rng.normal(size=P.embed_dim).astype(np.float32))
+            sub_embeds.append(e / np.linalg.norm(e))
+    sub_embeds = np.asarray(sub_embeds, np.float32)
+    # part id per gaussian: 2*label + (above object-center z); subpart id:
+    # 2*part + (right of object-center x) — 4 per object
     zc = np.where(labels > 0, centers[np.maximum(labels - 1, 0), 2], 0.0)
+    xc = np.where(labels > 0, centers[np.maximum(labels - 1, 0), 0], 0.0)
     part_of_gauss = 2 * labels + (means[:, 2] > zc).astype(np.int32)
+    sub_of_gauss = 2 * part_of_gauss + (means[:, 0] > xc).astype(np.int32)
 
     t0 = time.time()
     for i, cam in enumerate(cams):
@@ -352,14 +371,32 @@ def stage_scene(ws):
         pw = np.concatenate(pw, axis=0)[:2 * n_lab]
         seg_part = np.where(total > 0.5, np.argmax(pw, axis=0), -1)
 
-        np.save(ws_path(ws, "gt_masks", f"{cam.image_name}.npy"), seg_obj)
+        # subpart-level weights (level "s"): 4 per object
+        sw = []
+        for p in range(-(-4 * n_lab // 3)):
+            ind = np.zeros((len(labels), 3), np.float32)
+            for c in range(3):
+                sid = p * 3 + c
+                if sid < 4 * n_lab:
+                    ind[:, c] = (sub_of_gauss == sid)
+            f2 = dc_replace(field, language_feature=jnp.asarray(ind))
+            o2 = render_full(f2, cam, pipe, 0, True, bg)
+            sw.append(np.asarray(o2["language_feature_image"]))
+        sw = np.concatenate(sw, axis=0)[:4 * n_lab]
+        seg_sub = np.where(total > 0.5, np.argmax(sw, axis=0), -1)
 
-        # language_features: seg levels [default, s, m, l]; the per-image feature
-        # table rows are [whole-object embeds (n_lab), part embeds (2*n_lab)]
-        # with small per-view noise (preprocess.py's per-crop CLIP variation)
-        seg4 = np.stack([seg_obj, np.where(seg_part >= 0, seg_part + n_lab, -1),
-                         seg_obj, seg_obj]).astype(np.int32)
-        table = np.concatenate([embeds, part_embeds], axis=0)
+        np.save(ws_path(ws, "gt_masks", f"{cam.image_name}.npy"), seg_obj)
+        np.save(ws_path(ws, "gt_masks", f"{cam.image_name}_part.npy"), seg_part)
+
+        # language_features: seg levels [default, s, m, l] — three DISTINCT
+        # trained granularities (1=subparts, 2=parts, 3=objects); the feature
+        # table rows are [object (n_lab) | part (2*n_lab) | subpart (4*n_lab)]
+        # embeds with small per-view noise (preprocess.py's per-crop variation)
+        seg4 = np.stack([seg_obj,
+                         np.where(seg_sub >= 0, seg_sub + 3 * n_lab, -1),
+                         np.where(seg_part >= 0, seg_part + n_lab, -1),
+                         seg_obj]).astype(np.int32)
+        table = np.concatenate([embeds, part_embeds, sub_embeds], axis=0)
         table = table + 0.01 * rng.normal(size=table.shape).astype(np.float32)
         table /= np.linalg.norm(table, axis=1, keepdims=True)
         np.save(os.path.join(lf_dir, f"{cam.image_name}_s.npy"), seg4)
@@ -376,10 +413,18 @@ def stage_scene(ws):
     json_dir = ws_path(ws, "label", P.scene)
     os.makedirs(json_dir, exist_ok=True)
     cat_names = ["floor"] + [f"sphere_{i}" for i in range(P.n_objects)]
+    # part-level prompts for the first two spheres: their GT lives at the PART
+    # granularity, so best-of-levels selection must pick level 2 for them and
+    # level 3 for whole objects — `chosen_levels` in the artifact proves it
+    part_cats = {}
+    for i in range(min(2, P.n_objects)):
+        for half, hn in ((0, "bottom"), (1, "top")):
+            part_cats[f"sphere_{i}_{hn}"] = 2 * (i + 1) + half
     for tp in picks:
         reader_idx = train_positions[tp]
         cam = cams[reader_idx]
         seg_obj = np.load(ws_path(ws, "gt_masks", f"{cam.image_name}.npy"))
+        seg_part = np.load(ws_path(ws, "gt_masks", f"{cam.image_name}_part.npy"))
         objects = []
         for lab in range(n_lab):
             m = (seg_obj == lab).astype(np.uint8)
@@ -389,6 +434,15 @@ def stage_scene(ws):
             bbox = [int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())]
             for poly in mask_to_polygons(m):
                 objects.append({"category": cat_names[lab], "bbox": bbox,
+                                "segmentation": poly})
+        for cat, pid in part_cats.items():
+            m = (seg_part == pid).astype(np.uint8)
+            if m.sum() < 64:
+                continue
+            ys, xs = np.nonzero(m)
+            bbox = [int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())]
+            for poly in mask_to_polygons(m):
+                objects.append({"category": cat, "bbox": bbox,
                                 "segmentation": poly})
         jd = {"info": {"name": f"frame_{tp + 1:05d}.jpg",
                        "height": P.height, "width": P.width},
@@ -403,6 +457,7 @@ def stage_scene(ws):
     neg = rng.normal(size=(len(NEGATIVE_PROMPTS), P.embed_dim)).astype(np.float32)
     neg /= np.linalg.norm(neg, axis=1, keepdims=True)
     table = {cat_names[i]: embeds[i] for i in range(n_lab)}
+    table.update({cat: part_embeds[pid] for cat, pid in part_cats.items()})
     table.update({p: neg[i] for i, p in enumerate(NEGATIVE_PROMPTS)})
     np.savez(ws_path(ws, "text_embeddings.npz"), **table)
     print(f"scene stage done in {time.time() - t0:.0f}s: "
@@ -425,7 +480,10 @@ class Tee(io.TextIOBase):
 
 
 def run_logged(fn, argv, log_path):
-    with open(log_path, "a") as fh:
+    # "w", not "a": round 3's published psnr_curve silently interleaved three
+    # training attempts because a reused workspace appended — each attempt now
+    # owns its log (every stage/level writes a distinct file)
+    with open(log_path, "w") as fh:
         with contextlib.redirect_stdout(Tee(sys.stdout, fh)):
             fn(argv)
 
@@ -683,7 +741,7 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU-interpret run of every stage")
     ap.add_argument("--report_path", default=os.path.join(REPO,
-                                                          "QUALITY_r03.json"))
+                                                          "QUALITY_r04.json"))
     args = ap.parse_args()
 
     if args.smoke:
