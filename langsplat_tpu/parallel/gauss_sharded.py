@@ -42,7 +42,7 @@ from langsplat_tpu.models.gaussian_field import GaussianField
 from langsplat_tpu.ops import projection
 from langsplat_tpu.ops.render import RenderSettings
 from langsplat_tpu.parallel.spatial import band_from_prep, band_height
-from langsplat_tpu.train.densify import DensifyStats, update_stats
+from langsplat_tpu.train.densify import DensifyStats
 from langsplat_tpu.train.trainer import extract_params, merge_params
 
 
@@ -104,7 +104,10 @@ def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimize
         y0 = band * bh
         cap_local = field.xyz.shape[0]
         params = extract_params(field, include_feature)
-        zeros2d = jnp.zeros((cap_local, 2), jnp.float32)
+        v_local = viewmats.shape[0]
+        # per-view screenspace offsets: the densify stat is the reference's
+        # per-view accumulation (see data_parallel.make_dp_train_step)
+        zeros3d = jnp.zeros((v_local, cap_local, 2), jnp.float32)
 
         def loss_fn(p, ss):
             f = merge_params(field, p)
@@ -117,7 +120,7 @@ def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimize
                 norm = jnp.sqrt(jnp.sum(lf * lf, axis=-1, keepdims=True) + 1e-18)
                 feats = lf / (norm + 1e-9)
 
-            def one_view(view, proj, cpos_, gt, mask):
+            def one_view(view, proj, cpos_, gt, mask, ss_v):
                 # shard-local preprocess over this device's Gaussians
                 prep = projection.preprocess(
                     f.xyz, scales, f.rotation, shs, view, proj, cpos_,
@@ -128,7 +131,7 @@ def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimize
                     scale_modifier=settings.scale_modifier, alive=f.alive)
                 # means2D grad tap rides the gather so its gradient arrives
                 # shard-local through the psum_scatter
-                prep = prep._replace(means2d=prep.means2d + ss)
+                prep = prep._replace(means2d=prep.means2d + ss_v)
 
                 # reshard: Gaussian-sharded -> replicated screen-space quantities;
                 # VJP is psum_scatter (grads return summed over bands, shard-local)
@@ -156,7 +159,8 @@ def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimize
                              (1.0 - losses.ssim(pred, gt_band)))
                 return local, (prep.radii > 0, prep.radii)
 
-            per_view, aux = jax.vmap(one_view)(viewmats, projmats, campos, gts, masks)
+            per_view, aux = jax.vmap(one_view)(viewmats, projmats, campos, gts,
+                                               masks, ss)
             # full-image loss = (scale / n_bands) * sum of band losses; each band
             # differentiates its own share and the gather's psum_scatter sums the
             # band contributions, so no explicit grad reduction over gauss is needed
@@ -164,28 +168,37 @@ def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimize
             return jnp.mean(per_view) * (scale / n_bands), aux
 
         (local_loss, (vis, radii)), (grads, ss_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(params, zeros2d)
+            loss_fn, argnums=(0, 1), has_aux=True)(params, zeros3d)
 
-        # densify-stat convention (matches data_parallel/dp_spatial with one view per
-        # data row, i.e. the reference's per-view accumulation at train.py:125-126):
-        # sum of per-view tap gradients, not the view mean the loss differentiates
-        ss_grad = ss_grad * viewmats.shape[0]
+        # densify-stat tap in the reference's per-view half-image units
+        # (matches data_parallel/dp_spatial): each view's full-image gradient
+        # arrives shard-local through the gather's psum_scatter; v_local undoes
+        # the local view-mean factor, norms accumulate per view
+        stat_scale = jnp.asarray([0.5 * settings.image_width,
+                                  0.5 * settings.image_height], jnp.float32)
+        gnorm_v = jnp.linalg.norm(ss_grad[:, :, :2] * stat_scale,
+                                  axis=-1) * v_local       # [v_local, cap_l]
+        visf = vis.astype(jnp.float32)
+        gnorm_sum = jnp.sum(gnorm_v * visf, axis=0)
+        denom_sum = jnp.sum(visf, axis=0)
         # loss report: undo the per-band grad scaling, average bands (and data rows)
         loss = jax.lax.psum(local_loss, gauss_axis)
-        any_vis = jnp.any(vis, axis=0).astype(jnp.int32)
-        max_radii = jnp.max(radii, axis=0)
+        max_radii = jnp.max(jnp.where(vis, radii.astype(jnp.float32), 0.0),
+                            axis=0)
         if data_axis is not None:
             grads = jax.lax.pmean(grads, data_axis)
-            ss_grad = jax.lax.psum(ss_grad, data_axis)
+            gnorm_sum = jax.lax.psum(gnorm_sum, data_axis)
+            denom_sum = jax.lax.psum(denom_sum, data_axis)
             loss = jax.lax.pmean(loss, data_axis)
-            any_vis = jax.lax.psum(any_vis, data_axis)
             max_radii = jax.lax.pmax(max_radii, data_axis)
 
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_field = merge_params(field, new_params)
-        new_stats = update_stats(stats, ss_grad, any_vis > 0, max_radii,
-                                 settings.image_width, settings.image_height)
+        new_stats = DensifyStats(
+            grad_accum=stats.grad_accum + gnorm_sum,
+            denom=stats.denom + denom_sum,
+            max_radii2d=jnp.maximum(stats.max_radii2d, max_radii))
         return GaussShardedStepOutput(new_field, new_opt_state, new_stats, loss)
 
     rep = P()

@@ -296,7 +296,8 @@ def stage_scene(ws):
             for i, ci in enumerate(info.train_cameras)]
     cams.sort(key=lambda c: c.image_name)
 
-    pipe = PipelineConfig(interpret=P.interpret)
+    # 960x720 tile rects need ~2x the 640x480 instance budget per Gaussian
+    pipe = PipelineConfig(interpret=P.interpret, budget_factor=16)
     field = gt_field(means, colors, scales)
     bg = jnp.zeros(3)
 
@@ -490,8 +491,10 @@ def run_logged(fn, argv, log_path):
 
 def common_pipe_flags():
     # the smoke scene is tiny (few hundred Gaussians over many tiles), so its
-    # instances-per-Gaussian ratio far exceeds the full-scale default cap
-    flags = ["--budget_factor", "32" if P.interpret else "10"]
+    # instances-per-Gaussian ratio far exceeds the full-scale default cap;
+    # at the 960x720 protocol resolution the full-scale rects are ~2x the
+    # 640x480 ones per Gaussian, hence 14
+    flags = ["--budget_factor", "32" if P.interpret else "14"]
     if P.interpret:
         flags.append("--interpret")
     return flags
