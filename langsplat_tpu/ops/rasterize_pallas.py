@@ -402,6 +402,39 @@ def _cumsum_blocked(x: jnp.ndarray, precision) -> jnp.ndarray:
 
 _FAKE_TRANS = bool(__import__("os").environ.get("LANGSPLAT_FAKE_TRANS"))
 
+#: batch every lane-half's (hi, lo) split-cumsum pass into ONE triangular
+#: matmul by stacking on the sublane axis — MXU issue/weight-load cost
+#: dominates these small matmuls (A/B knob; see docs/ROOFLINE.md round-4 notes)
+CUMSUM_STACK = __import__("os").environ.get("LANGSPLAT_CUMSUM_STACK", "0") != "0"
+
+
+def _cumsum_lanes_stacked(x: jnp.ndarray, width: int, nmemb: int,
+                          precision=None) -> jnp.ndarray:
+    """Per-lane-half inclusive cumsum of joint [P, nmemb*width] x.
+
+    All halves (and, on the f32-faithful path, their hi/lo split parts) stack
+    on the sublane axis into a single [k*P, width] triangular matmul — same
+    FLOPs as the separate calls, one MXU issue instead of up to 2*nmemb."""
+    pp = x.shape[0]
+    exact = precision is None or precision == MM_PRECISION
+    if exact:
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = x - hi
+        parts = []
+        for u in range(nmemb):
+            sl = slice(u * width, (u + 1) * width)
+            parts.append(hi[:, sl])
+            parts.append(lo[:, sl])
+        y = _mm(jnp.concatenate(parts, axis=0), _triu_ones(width),
+                jax.lax.Precision.DEFAULT)
+        outs = [y[(2 * u) * pp:(2 * u + 1) * pp]
+                + y[(2 * u + 1) * pp:(2 * u + 2) * pp] for u in range(nmemb)]
+    else:
+        parts = [x[:, u * width:(u + 1) * width] for u in range(nmemb)]
+        y = _mm(jnp.concatenate(parts, axis=0), _triu_ones(width), precision)
+        outs = [y[u * pp:(u + 1) * pp] for u in range(nmemb)]
+    return outs[0] if nmemb == 1 else jnp.concatenate(outs, axis=1)
+
 
 def _exp(x):
     return (1.0 + 0.5 * x) if _FAKE_TRANS else jnp.exp(x)
@@ -658,7 +691,9 @@ def _blend_core_joint(alpha, t_carry_j, lane_loc, width, nmemb, precision=None):
     with the fused width), everything else is joint. Returns
     (w, t_excl, included, t_incl)."""
     la = _log(1.0 - alpha)
-    if nmemb == 1:
+    if CUMSUM_STACK:
+        cs = _cumsum_lanes_stacked(la, width, nmemb, precision)
+    elif nmemb == 1:
         cs = _cumsum_lanes(la, precision)
     else:
         cs = jnp.concatenate(
@@ -857,10 +892,13 @@ def _bwd_kernel(spec: BlendSpec,
         # per-half prefix/suffix (the cumsum and the [P,1] member carries live
         # per lane-half); (suffix + tail) joins for the joint dalpha row
         st_l, pnew_l = [], []
+        pcs = (_cumsum_lanes_stacked(contrib, cw, nmemb, gprec)
+               if CUMSUM_STACK else None)
         for u in range(nmemb):
             sl = slice(u * cw, (u + 1) * cw)
-            pi = prefix_ref[u, :, :] + _cumsum_lanes(contrib[:, sl],
-                                                     precision=gprec)
+            half_cs = (pcs[:, sl] if pcs is not None
+                       else _cumsum_lanes(contrib[:, sl], precision=gprec))
+            pi = prefix_ref[u, :, :] + half_cs
             st_l.append((total_l[u] - pi) + tail_l[u])
             pnew_l.append(jnp.sum(contrib[:, sl], axis=1, keepdims=True))
         st_j = st_l[0] if nmemb == 1 else jnp.concatenate(st_l, axis=1)

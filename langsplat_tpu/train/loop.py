@@ -41,6 +41,22 @@ def pad_opt_state(opt_state, old_cap: int, new_cap: int):
     return jax.tree.map(pad, opt_state)
 
 
+def _device_image(cam):
+    """Device-resident GT image, uploaded once per camera and memoized on the
+    camera object — the reference keeps images on-device too (Camera tensors
+    default to data_device='cuda', scene/cameras.py:39-46), and re-uploading
+    8 MB per step dominates step time through the tunneled-chip RPC."""
+    img = getattr(cam, "_dev_image", None)
+    if img is None:
+        img = jnp.asarray(cam.image)
+        try:
+            cam._dev_image = img
+        except AttributeError:
+            pass
+        return img
+    return img
+
+
 def make_settings(cam, pipe, active_sh_degree: int, include_feature: bool,
                   capacity: int, budget: int = 0,
                   max_tiles: int | None = None) -> RenderSettings:
@@ -344,7 +360,7 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                                   for c in dp_cams])
             dp_cpos = jnp.stack([jnp.asarray(c.camera_center)
                                  for c in dp_cams])
-            dp_gts = jnp.stack([jnp.asarray(c.image) for c in dp_cams])
+            dp_gts = jnp.stack([_device_image(c) for c in dp_cams])
             dp_masks = jnp.ones((dp_batch, 1, 1, 1))
         else:
             cam, epoch_pos = cam_at(iteration)
@@ -382,10 +398,15 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
             else:
                 out = tr.train_step_rgb(
                     field, opt_state, stats, view, proj, campos,
-                    jnp.asarray(cam.image), bg,
+                    _device_image(cam), bg,
                     settings=settings, optimizer=optimizer,
                     lambda_dssim=ocfg.lambda_dssim)
-            dropped, rect = int(out.dropped), int(out.rect_dropped)
+            # ONE host fetch for the step's scalars: separate int()/float()
+            # calls each pay the full tunnel RPC round-trip (~35 ms)
+            _sc = np.asarray(jnp.stack([
+                out.dropped.astype(jnp.float32),
+                out.rect_dropped.astype(jnp.float32), out.loss, out.l1]))
+            dropped, rect = int(_sc[0]), int(_sc[1])
             if dropped == 0 and rect == 0:
                 break
             # discard the truncated step's updates and re-run with the failing
@@ -418,7 +439,7 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         field, opt_state, stats = out.field, out.opt_state, out.stats
         elapsed = timer.stop(out.loss)
 
-        loss_val = float(out.loss)
+        loss_val = float(_sc[2])
         if pipe.debug:
             # the reference's pipe.debug dumps rasterizer state on error; the
             # TPU analog surfaces the budget/drop accounting every step
@@ -429,7 +450,7 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         history.append(loss_val)
         logger.progress(iteration, loss_val,
                         extra=f" n={int(field.num_alive)} {elapsed:.0f}ms")
-        logger.scalar("train_loss_patches/l1_loss", float(out.l1), iteration)
+        logger.scalar("train_loss_patches/l1_loss", float(_sc[3]), iteration)
         logger.scalar("train_loss_patches/total_loss", loss_val, iteration)
         logger.scalar("iter_time", elapsed, iteration)
 
@@ -576,7 +597,7 @@ def evaluate_psnr(field, scene: Scene, pipe, active_sh_degree, include_feature, 
             r = render_full(field, cam, pipe, active_sh_degree, include_feature,
                             bg, budget=budget, max_tiles=max_tiles)
             img = jnp.clip(r["render"], 0, 1)
-            gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
+            gt = jnp.clip(_device_image(cam), 0, 1)
             l1s.append(float(loss_lib.l1_loss(img, gt)))
             psnrs.append(float(loss_lib.psnr(img, gt)))
             if include_feature and lf_path:

@@ -67,7 +67,7 @@ class P:
     # (/root/reference/arguments/__init__.py:76: 30k iters, densify until 15k)
     iters_a = 30_000
     densify_until = 15_000
-    test_every = 1_000
+    test_every = 2_500
     # Reference default (arguments/__init__.py:92). The round-3 death-spiral
     # investigation (28k -> 150 Gaussians: post-reset size-prune removing
     # grazing-angle floor splats with densification never arming) turned out
