@@ -177,6 +177,16 @@ def main():
             pass
     vs = pixels_per_s / baseline if baseline else 1.0
 
+    # A concurrent quality run on the same chip silently contaminated the
+    # round-3 driver bench; quality_run.py now drops a RUNNING lock per
+    # workspace, and the bench declares the contention in its own artifact.
+    import glob as _glob
+    locks = _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    ".quality_ws*", "RUNNING"))
+    if locks:
+        print(f"WARNING: chip contended — quality run in flight ({locks}); "
+              f"this number is not a clean measurement", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"pixels/s/chip fwd+bwd @ {n} gaussians {w}x{h}",
         "value": round(pixels_per_s, 1),
@@ -188,6 +198,7 @@ def main():
         # `published: {}`): the ratio is against this framework's own first
         # recorded value, not a reference-derived baseline
         "baseline_kind": "first_recorded_self_baseline",
+        **({"contended": True, "contended_by": locks} if locks else {}),
     }))
 
 

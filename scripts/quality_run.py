@@ -763,25 +763,38 @@ def main():
 
     todo = args.stages.split(",")
     t0 = time.time()
-    for st in todo:
-        print(f"=== stage {st} ===", flush=True)
-        if st == "scene":
-            stage_scene(args.ws)
-        elif st == "ae":
-            stage_ae(args.ws)
-        elif st == "oracle":
-            stage_oracle(args.ws)
-        elif st == "phaseA":
-            stage_phase_a(args.ws)
-        elif st == "phaseB":
-            stage_phase_b(args.ws)
-        elif st == "render":
-            stage_render(args.ws)
-        elif st == "evalrun":
-            stage_eval(args.ws)
-        elif st == "report":
-            stage_report(args.ws, args.report_path)
-        print(f"=== {st} done ({time.time() - t0:.0f}s elapsed) ===", flush=True)
+    # chip-contention lock: bench.py refuses to publish a clean number while any
+    # .quality_ws*/RUNNING exists (round 3's BENCH_r03.json was silently
+    # contaminated by a concurrent quality-run eval on the same chip)
+    lock = os.path.join(args.ws, "RUNNING")
+    with open(lock, "w") as fh:
+        fh.write(f"pid={os.getpid()} t0={t0:.0f} stages={args.stages}\n")
+    try:
+        for st in todo:
+            print(f"=== stage {st} ===", flush=True)
+            if st == "scene":
+                stage_scene(args.ws)
+            elif st == "ae":
+                stage_ae(args.ws)
+            elif st == "oracle":
+                stage_oracle(args.ws)
+            elif st == "phaseA":
+                stage_phase_a(args.ws)
+            elif st == "phaseB":
+                stage_phase_b(args.ws)
+            elif st == "render":
+                stage_render(args.ws)
+            elif st == "evalrun":
+                stage_eval(args.ws)
+            elif st == "report":
+                stage_report(args.ws, args.report_path)
+            print(f"=== {st} done ({time.time() - t0:.0f}s elapsed) ===",
+                  flush=True)
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 if __name__ == "__main__":
