@@ -84,6 +84,17 @@ class BlendSpec(NamedTuple):
                            # d(language_feature) — the backward then skips the
                            # dalpha/moment machinery and reduces only the
                            # feature rows
+    bwd_super: int = 1     # backward read-DMA batching: each in-copy fetches
+                           # bwd_super*chunk columns per member while compute
+                           # and the gradient WRITE path stay at `chunk`
+                           # granularity (the write-side sacrificial-tail
+                           # reasoning only holds for chunk-wide windows).
+                           # Halves/quarters the per-chunk DMA issue+wait
+                           # scalar work without widening the triangular
+                           # cumsum. The aligned tail grows by
+                           # (bwd_super-1)*chunk so a live super-window never
+                           # clamps (a clamped live read would shift columns
+                           # under the count mask and corrupt gradients).
     grad_precision: str = "exact"  # "exact" | "bf16": bf16 runs every backward-
                            # kernel matmul at DEFAULT (single-pass bf16) — the
                            # rendered image stays exact, gradients pick up
@@ -127,7 +138,8 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
                     num_feat: int, budget: int, interpret: bool = False,
                     fwd_mult: int = 1, align: int | None = None,
                     grad_mode: str = "full",
-                    grad_precision: str = "exact") -> BlendSpec:
+                    grad_precision: str = "exact",
+                    bwd_super: int | None = None) -> BlendSpec:
     if chunk <= 0:
         raise ValueError(f"chunk must be positive, got {chunk}")
     if chunk % 128 != 0 and not interpret:
@@ -146,10 +158,15 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
         raise ValueError(f"chunk sizes must be multiples of align={align}")
     if align % 128 != 0 and not interpret:
         raise ValueError(f"align must be a multiple of 128 on TPU, got {align}")
+    if bwd_super is None:
+        bwd_super = BWD_SUPER
+    if bwd_super not in (1, 2, 4):
+        raise ValueError(f"bwd_super must be 1, 2 or 4, got {bwd_super}")
     # worst case every tile has a partial align-quantum of padding; the global tail
-    # gets one extra fwd chunk so a final partial-chunk DMA never reads out of bounds
+    # gets one extra fwd chunk (or backward super-window) so a final partial-chunk
+    # DMA never reads out of bounds
     aligned = (_round_up(budget + gx * gy * (align - 1), align)
-               + max(chunk, chunk * fwd_mult) - align)
+               + max(chunk, chunk * fwd_mult, chunk * bwd_super) - align)
     aligned = _round_up(aligned, align)
     if grad_mode not in ("full", "feature"):
         raise ValueError(f"grad_mode must be 'full' or 'feature', got {grad_mode}")
@@ -161,7 +178,7 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
     return BlendSpec(grid_x=gx, grid_y=gy, tile_size=tile_size, chunk=chunk,
                      num_feat=num_feat, aligned_budget=aligned, fwd_mult=fwd_mult,
                      align=align, grad_mode=grad_mode,
-                     grad_precision=grad_precision)
+                     grad_precision=grad_precision, bwd_super=bwd_super)
 
 
 #: default reduction for the packing-gather backward: "segsum" (Pallas
@@ -173,6 +190,17 @@ if BWD_REDUCE not in ("segsum", "gather"):
     raise ValueError(
         f"LANGSPLAT_BWD_REDUCE must be 'segsum' or 'gather', got "
         f"{BWD_REDUCE!r} — a typo here would silently defeat an A/B comparison")
+
+#: default backward read-DMA batching factor (BlendSpec.bwd_super); A/B knob.
+try:
+    BWD_SUPER = int(__import__("os").environ.get("LANGSPLAT_BWD_SUPER", 1))
+except ValueError as _e:
+    raise ValueError(
+        f"LANGSPLAT_BWD_SUPER must be an integer (backward read-DMA batching "
+        f"factor), got "
+        f"{__import__('os').environ.get('LANGSPLAT_BWD_SUPER')!r}") from _e
+if BWD_SUPER not in (1, 2, 4):
+    raise ValueError(f"LANGSPLAT_BWD_SUPER must be 1, 2 or 4, got {BWD_SUPER}")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -787,16 +815,23 @@ def _bwd_kernel(spec: BlendSpec,
     nmax = nchunk_l[0]
     for u in range(1, nmemb):
         nmax = jnp.maximum(nmax, nchunk_l[u])
-    read_cap = spec.aligned_budget - cw
+    sup = spec.bwd_super
+    swidth = cw * sup
+    nsup = (nmax + sup - 1) // sup if sup > 1 else nmax
+    # super-window read cap: the aligned tail is sized so this clamp can only
+    # engage for fully-dead windows (make_blend_spec tail term) — a clamped
+    # LIVE window would shift columns under the count mask and corrupt grads
+    read_cap = spec.aligned_budget - swidth
 
-    def in_copies(k, slot):
+    def in_copies(ks, slot):
+        # one read DMA per member per SUPER-chunk (sup compute chunks)
         out = []
         for u in range(nmemb):
-            off = jnp.minimum(starts[u] + k * cw, read_cap)
+            off = jnp.minimum(starts[u] + ks * swidth, read_cap)
             off = pl.multiple_of(off, spec.align)
             out.append(pltpu.make_async_copy(
-                inst_ref.at[:, pl.ds(off, cw)],
-                chunk_buf.at[slot, :, pl.ds(u * cw, cw)],
+                inst_ref.at[:, pl.ds(off, swidth)],
+                chunk_buf.at[slot, :, pl.ds(u * swidth, swidth)],
                 in_sems.at[slot, u]))
         return out
 
@@ -832,8 +867,10 @@ def _bwd_kernel(spec: BlendSpec,
     gprec = (jax.lax.Precision.DEFAULT if spec.grad_precision == "bf16"
              else MM_PRECISION)
 
-    def _bwd_chunk(k, slot):
-        data = chunk_buf[slot]
+    def _bwd_chunk(k, wslot, data):
+        # `data` [rows, jw] is the compute chunk (sliced out of the super read
+        # buffer by the caller); `wslot` alternates per compute chunk — the
+        # gradient WRITE path keeps chunk granularity and its slot parity
         limv = _joint_row([counts[u] - k * cw for u in range(nmemb)],
                           row_io, cw, jnp.int32)
         alpha, gexp, keep = _chunk_alpha(data, px_j, py_j, lane_loc, limv)
@@ -852,21 +889,21 @@ def _bwd_kernel(spec: BlendSpec,
 
             @pl.when(k >= 2)
             def _():
-                for c in out_copies(k - 2, slot):
+                for c in out_copies(k - 2, wslot):
                     c.wait()
 
-            dchunk_buf[slot, 0:D_BASE, :] = jnp.zeros((D_BASE, jw), f32)
+            dchunk_buf[wslot, 0:D_BASE, :] = jnp.zeros((D_BASE, jw), f32)
             if nmemb == 1:
-                dchunk_buf[slot, D_BASE:D_BASE + nf, :] = dfj
+                dchunk_buf[wslot, D_BASE:D_BASE + nf, :] = dfj
             else:
                 for u in range(nmemb):
-                    dchunk_buf[slot, D_BASE:D_BASE + nf,
+                    dchunk_buf[wslot, D_BASE:D_BASE + nf,
                                u * cw:(u + 1) * cw] = (
                         dfj[u * nf:(u + 1) * nf, u * cw:(u + 1) * cw])
             if spec.rows > D_BASE + nf:
-                dchunk_buf[slot, D_BASE + nf:, :] = jnp.zeros(
+                dchunk_buf[wslot, D_BASE + nf:, :] = jnp.zeros(
                     (spec.rows - D_BASE - nf, jw), f32)
-            for c in out_copies(k, slot):
+            for c in out_copies(k, wslot):
                 c.start()
             wcount_ref[0] = k + 1
             for u in range(nmemb):
@@ -938,10 +975,10 @@ def _bwd_kernel(spec: BlendSpec,
         mxq = data[ROW_MX:ROW_MX + 1, :] - cx_j                # [1, J] tile-centered
         myq = data[ROW_MY:ROW_MY + 1, :] - cy_j
 
-        # reclaim dchunk_buf[slot]: the writes issued for chunk k-2 used this slot
+        # reclaim dchunk_buf[wslot]: the writes issued for chunk k-2 used this slot
         @pl.when(k >= 2)
         def _():
-            for c in out_copies(k - 2, slot):
+            for c in out_copies(k - 2, wslot):
                 c.wait()
 
         # per-lane-half reconstruction: the (cheap [1, chunk]) row algebra runs
@@ -968,17 +1005,17 @@ def _bwd_kernel(spec: BlendSpec,
             d_mx = ca[:, sl] * sdx + cb[:, sl] * sdy
             d_my = cc[:, sl] * sdy + cb[:, sl] * sdx
             da_u = da_l[u]
-            dchunk_buf[slot, ROW_MX:ROW_MX + 1, sl] = d_mx
-            dchunk_buf[slot, ROW_MY:ROW_MY + 1, sl] = d_my
-            dchunk_buf[slot, ROW_CA:ROW_CA + 1, sl] = d_ca
-            dchunk_buf[slot, ROW_CB:ROW_CB + 1, sl] = d_cb
-            dchunk_buf[slot, ROW_CC:ROW_CC + 1, sl] = d_cc
-            dchunk_buf[slot, ROW_OPA:ROW_OPA + 1, sl] = d_opa
-            dchunk_buf[slot, ROW_R:ROW_R + ncol, sl] = da_u
+            dchunk_buf[wslot, ROW_MX:ROW_MX + 1, sl] = d_mx
+            dchunk_buf[wslot, ROW_MY:ROW_MY + 1, sl] = d_my
+            dchunk_buf[wslot, ROW_CA:ROW_CA + 1, sl] = d_ca
+            dchunk_buf[wslot, ROW_CB:ROW_CB + 1, sl] = d_cb
+            dchunk_buf[wslot, ROW_CC:ROW_CC + 1, sl] = d_cc
+            dchunk_buf[wslot, ROW_OPA:ROW_OPA + 1, sl] = d_opa
+            dchunk_buf[wslot, ROW_R:ROW_R + ncol, sl] = da_u
         if spec.rows > D_BASE + nf:
-            dchunk_buf[slot, D_BASE + nf:, :] = jnp.zeros(
+            dchunk_buf[wslot, D_BASE + nf:, :] = jnp.zeros(
                 (spec.rows - D_BASE - nf, jw), f32)
-        for c in out_copies(k, slot):
+        for c in out_copies(k, wslot):
             c.start()
         wcount_ref[0] = k + 1
         for u in range(nmemb):
@@ -986,29 +1023,46 @@ def _bwd_kernel(spec: BlendSpec,
             t_ref[u, :, :] = jnp.where(m_incl < TERM_EPS, 0.0, m_incl)
             prefix_ref[u, :, :] = prefix_ref[u, :, :] + pnew_l[u]
 
-    def body(k, _):
+    def body(ks, _):
         @pl.when(flag_ref[0] == 1)
         def _():
             alive = _alive_any(t_ref, nmemb)
-            slot = jax.lax.rem(k, 2)
-            for c in in_copies(k, slot):
+            slot = jax.lax.rem(ks, 2)
+            for c in in_copies(ks, slot):
                 c.wait()
-            do_issue = alive & (k + 1 < nmax)
+            do_issue = alive & (ks + 1 < nsup)
 
             @pl.when(do_issue)
             def _():
-                for c in in_copies(k + 1, jax.lax.rem(k + 1, 2)):
+                for c in in_copies(ks + 1, jax.lax.rem(ks + 1, 2)):
                     c.start()
 
             flag_ref[0] = jnp.where(do_issue, 1, 0)
 
-            @pl.when(alive)
-            def _():
-                _bwd_chunk(k, slot)
+            for s in range(sup):          # python-unrolled sub-chunks
+                k = ks * sup + s if sup > 1 else ks
+                if sup == 1:
+                    data = chunk_buf[slot]
+                else:
+                    # gather member lane-blocks of sub-chunk s into the joint
+                    # [rows, jw] compute layout (cheap VMEM moves vs the MXU/
+                    # VPU work of the chunk body)
+                    data = jnp.concatenate(
+                        [chunk_buf[slot, :,
+                                   u * swidth + s * cw:u * swidth + (s + 1) * cw]
+                         for u in range(nmemb)], axis=1)
+                # t_ref advances per sub-chunk: re-evaluate liveness so a
+                # mid-super termination still skips the remaining bodies
+                alive_s = _alive_any(t_ref, nmemb) if s else alive
+                live_k = alive_s & (k < nmax) if sup > 1 else alive_s
+
+                @pl.when(live_k)
+                def _(k=k, data=data):
+                    _bwd_chunk(k, jax.lax.rem(k, 2), data)
 
         return ()
 
-    jax.lax.fori_loop(0, nmax, body, ())
+    jax.lax.fori_loop(0, nsup, body, ())
 
     # drain the last <=2 outstanding gradient write groups
     wn = wcount_ref[0]
@@ -1103,7 +1157,8 @@ def _bwd_call(packed, aligned_start, g_out, residuals, spec: BlendSpec, interpre
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, spec.rows, nmemb * spec.chunk), jnp.float32),  # in bufs
+            pltpu.VMEM((2, spec.rows, nmemb * spec.chunk * spec.bwd_super),
+                       jnp.float32),                                      # in bufs
             pltpu.VMEM((2, spec.rows, nmemb * spec.chunk), jnp.float32),  # out bufs
             pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # prefix carry
             pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # t_carry (0 = done)
@@ -1181,6 +1236,7 @@ def rasterize_pallas(
     grad_mode: str = "full",
     grad_precision: str = "exact",
     bwd_reduce: str | None = None,
+    bwd_super: int | None = None,
 ) -> dict:
     """Full Pallas rasterization: pack -> blend -> assemble. Differentiable."""
     num_feat = 0 if features is None else features.shape[1]
@@ -1188,7 +1244,7 @@ def rasterize_pallas(
                            tile_size=tile_size, chunk=chunk, num_feat=num_feat,
                            budget=inst.gauss_id.shape[0], interpret=interpret,
                            fwd_mult=fwd_mult, align=align, grad_mode=grad_mode,
-                           grad_precision=grad_precision)
+                           grad_precision=grad_precision, bwd_super=bwd_super)
     packed, p_off = pack_instances(prep, opacities, features, inst, spec,
                                    means2d_override=means2d_override,
                                    interpret=interpret, bwd_reduce=bwd_reduce)
