@@ -138,15 +138,38 @@ def main():
     k_short = 2
     repeats = max(int(os.environ.get("BENCH_REPEATS", 3)), 1)
     run_chain(k_short)  # warm up compile + transfers
+    # a contended chip can interleave foreign work into the SHORT chain only,
+    # making t_long - t_short <= 0 and the px/s figure physically impossible;
+    # keep only plausible positive slopes and re-measure (bounded) while the
+    # spread stays high, rather than publishing a fantastical number
+    min_slope = 1e-4  # 0.1 ms/step: far below any real full step at any size
     slopes = []
-    for _ in range(repeats):
+    max_tries = repeats * 3
+    tries = 0
+    while tries < max_tries:
+        tries += 1
         t0 = time.time()
         run_chain(k_short)
         t_short = time.time() - t0
         t0 = time.time()
         run_chain(k_short + steps)
         t_long = time.time() - t0
-        slopes.append(max(t_long - t_short, 1e-9) / steps)
+        s = (t_long - t_short) / steps
+        if s >= min_slope:
+            slopes.append(s)
+        if len(slopes) >= repeats:
+            ss = sorted(slopes)
+            if (ss[-1] - ss[0]) / ss[len(ss) // 2] <= 0.10:
+                break
+    if not slopes:
+        print(json.dumps({
+            "metric": f"pixels/s/chip fwd+bwd @ {n} gaussians {w}x{h}",
+            "value": 0.0, "unit": "pixels/s", "vs_baseline": 0.0,
+            "invalid": True,
+            "reason": f"no plausible slope in {max_tries} tries (all "
+                      f"<= {min_slope}s/step) — chip contended or clock broken",
+        }))
+        return
     slopes.sort()
     dt = slopes[len(slopes) // 2] if len(slopes) % 2 else (
         slopes[len(slopes) // 2 - 1] + slopes[len(slopes) // 2]) / 2
@@ -193,7 +216,8 @@ def main():
         "unit": "pixels/s",
         "vs_baseline": round(vs, 3),
         "slope_spread": round(spread, 3),
-        "slope_repeats": repeats,
+        "slope_repeats": len(slopes),
+        "slope_tries": tries,
         # the reference publishes no throughput number (BASELINE.json
         # `published: {}`): the ratio is against this framework's own first
         # recorded value, not a reference-derived baseline

@@ -84,6 +84,10 @@ class BlendSpec(NamedTuple):
                            # d(language_feature) — the backward then skips the
                            # dalpha/moment machinery and reduces only the
                            # feature rows
+    fwd_super: int = 1     # forward read-DMA batching: same scheme as
+                           # bwd_super below, for the forward kernel's
+                           # instance stream (fwd_super*fwd_chunk-wide
+                           # windows, fwd_chunk-wide compute).
     bwd_super: int = 1     # backward read-DMA batching: each in-copy fetches
                            # bwd_super*chunk columns per member while compute
                            # and the gradient WRITE path stay at `chunk`
@@ -139,6 +143,7 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
                     fwd_mult: int = 1, align: int | None = None,
                     grad_mode: str = "full",
                     grad_precision: str = "exact",
+                    fwd_super: int | None = None,
                     bwd_super: int | None = None) -> BlendSpec:
     if chunk <= 0:
         raise ValueError(f"chunk must be positive, got {chunk}")
@@ -158,15 +163,18 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
         raise ValueError(f"chunk sizes must be multiples of align={align}")
     if align % 128 != 0 and not interpret:
         raise ValueError(f"align must be a multiple of 128 on TPU, got {align}")
+    if fwd_super is None:
+        fwd_super = FWD_SUPER
     if bwd_super is None:
         bwd_super = BWD_SUPER
-    if bwd_super not in (1, 2, 4):
-        raise ValueError(f"bwd_super must be 1, 2 or 4, got {bwd_super}")
+    for nm, v in (("fwd_super", fwd_super), ("bwd_super", bwd_super)):
+        if v not in (1, 2, 4):
+            raise ValueError(f"{nm} must be 1, 2 or 4, got {v}")
     # worst case every tile has a partial align-quantum of padding; the global tail
-    # gets one extra fwd chunk (or backward super-window) so a final partial-chunk
-    # DMA never reads out of bounds
+    # gets one extra fwd/bwd super-window so a final partial-window DMA never
+    # reads out of bounds (and never clamps while live sub-chunks remain)
     aligned = (_round_up(budget + gx * gy * (align - 1), align)
-               + max(chunk, chunk * fwd_mult, chunk * bwd_super) - align)
+               + max(chunk * fwd_mult * fwd_super, chunk * bwd_super) - align)
     aligned = _round_up(aligned, align)
     if grad_mode not in ("full", "feature"):
         raise ValueError(f"grad_mode must be 'full' or 'feature', got {grad_mode}")
@@ -178,7 +186,8 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
     return BlendSpec(grid_x=gx, grid_y=gy, tile_size=tile_size, chunk=chunk,
                      num_feat=num_feat, aligned_budget=aligned, fwd_mult=fwd_mult,
                      align=align, grad_mode=grad_mode,
-                     grad_precision=grad_precision, bwd_super=bwd_super)
+                     grad_precision=grad_precision, fwd_super=fwd_super,
+                     bwd_super=bwd_super)
 
 
 #: default reduction for the packing-gather backward: "segsum" (Pallas
@@ -191,16 +200,21 @@ if BWD_REDUCE not in ("segsum", "gather"):
         f"LANGSPLAT_BWD_REDUCE must be 'segsum' or 'gather', got "
         f"{BWD_REDUCE!r} — a typo here would silently defeat an A/B comparison")
 
-#: default backward read-DMA batching factor (BlendSpec.bwd_super); A/B knob.
-try:
-    BWD_SUPER = int(__import__("os").environ.get("LANGSPLAT_BWD_SUPER", 1))
-except ValueError as _e:
-    raise ValueError(
-        f"LANGSPLAT_BWD_SUPER must be an integer (backward read-DMA batching "
-        f"factor), got "
-        f"{__import__('os').environ.get('LANGSPLAT_BWD_SUPER')!r}") from _e
-if BWD_SUPER not in (1, 2, 4):
-    raise ValueError(f"LANGSPLAT_BWD_SUPER must be 1, 2 or 4, got {BWD_SUPER}")
+#: default read-DMA batching factors (BlendSpec.fwd_super/bwd_super); A/B knobs.
+def _super_env(name):
+    try:
+        v = int(__import__("os").environ.get(name, 1))
+    except ValueError as e:
+        raise ValueError(
+            f"{name} must be an integer (read-DMA batching factor), got "
+            f"{__import__('os').environ.get(name)!r}") from e
+    if v not in (1, 2, 4):
+        raise ValueError(f"{name} must be 1, 2 or 4, got {v}")
+    return v
+
+
+FWD_SUPER = _super_env("LANGSPLAT_FWD_SUPER")
+BWD_SUPER = _super_env("LANGSPLAT_BWD_SUPER")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -641,16 +655,21 @@ def _fwd_kernel(spec: BlendSpec,
     # members iterate to the PAIR's max chunk count; a shorter member's excess
     # reads are clamped into the sacrificial aligned tail (contents masked by the
     # limit row anyway — the clamp only keeps the DMA in bounds)
-    read_cap = spec.aligned_budget - fchunk
+    sup = spec.fwd_super
+    swidth = fchunk * sup
+    nsup = (nmax + sup - 1) // sup if sup > 1 else nmax
+    read_cap = spec.aligned_budget - swidth
 
-    def copies(k, slot):
+    def copies(ks, slot):
+        # one read DMA per member per SUPER-chunk (sup compute chunks); the
+        # aligned tail guarantees live windows never clamp (see make_blend_spec)
         out = []
         for u in range(nmemb):
-            off = jnp.minimum(starts[u] + k * fchunk, read_cap)
+            off = jnp.minimum(starts[u] + ks * swidth, read_cap)
             off = pl.multiple_of(off, spec.align)
             out.append(pltpu.make_async_copy(
-                inst_ref.at[:, pl.ds(off, fchunk)],
-                chunk_buf.at[slot, :, pl.ds(u * fchunk, fchunk)],
+                inst_ref.at[:, pl.ds(off, swidth)],
+                chunk_buf.at[slot, :, pl.ds(u * swidth, swidth)],
                 dma_sems.at[slot, u]))
         return out
 
@@ -661,53 +680,68 @@ def _fwd_kernel(spec: BlendSpec,
 
     flag_ref[0] = jnp.where(nmax > 0, 1, 0)
 
-    def body(k, _):
+    def _fwd_chunk(k, data):
+        limv = _joint_row([counts[u] - k * fchunk for u in range(nmemb)],
+                          row_io, fchunk, jnp.int32)
+        alpha, _, _ = _chunk_alpha(data, px_j, py_j, lane_loc, limv)
+        tc = [t_ref[u, :, :] for u in range(nmemb)]
+        t_carry_j = _joint_cols(tc, lane, fchunk)
+        w, _, included, t_incl = _blend_core_joint(
+            alpha, t_carry_j, lane_loc, fchunk, nmemb)
+        incl_fill = jnp.where(included, t_incl, t_carry_j)
+        for u in range(nmemb):
+            sl = slice(u * fchunk, (u + 1) * fchunk)
+            # acc[p, ch] += sum_i w[p, i] * attrs[ch, i] (MXU over chunk)
+            out_ref[u, :, 0:ncol] += jax.lax.dot_general(
+                w[:, sl], data[ROW_R:ROW_R + ncol, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=MM_PRECISION,
+                preferred_element_type=jnp.float32)
+            m_incl = jnp.min(t_incl[:, sl], axis=1, keepdims=True)
+            floor = jnp.min(incl_fill[:, sl], axis=1, keepdims=True)
+            term = m_incl < TERM_EPS
+            # latch final T once, at the chunk a pixel terminates in
+            # (floor == T after its last included instance)
+            tfin_ref[u, :, :] = jnp.where(term & (tc[u] > 0.0), floor,
+                                          tfin_ref[u, :, :])
+            t_ref[u, :, :] = jnp.where(term, 0.0, m_incl)
+
+    def body(ks, _):
         @pl.when(flag_ref[0] == 1)
         def _():
             alive = _alive_any(t_ref, nmemb)
-            slot = jax.lax.rem(k, 2)
-            for c in copies(k, slot):
+            slot = jax.lax.rem(ks, 2)
+            for c in copies(ks, slot):
                 c.wait()
-            do_issue = alive & (k + 1 < nmax)
+            do_issue = alive & (ks + 1 < nsup)
 
             @pl.when(do_issue)
             def _():
-                for c in copies(k + 1, jax.lax.rem(k + 1, 2)):
+                for c in copies(ks + 1, jax.lax.rem(ks + 1, 2)):
                     c.start()
 
             flag_ref[0] = jnp.where(do_issue, 1, 0)
 
-            @pl.when(alive)
-            def _():
-                data = chunk_buf[slot]
-                limv = _joint_row([counts[u] - k * fchunk for u in range(nmemb)],
-                                  row_io, fchunk, jnp.int32)
-                alpha, _, _ = _chunk_alpha(data, px_j, py_j, lane_loc, limv)
-                tc = [t_ref[u, :, :] for u in range(nmemb)]
-                t_carry_j = _joint_cols(tc, lane, fchunk)
-                w, _, included, t_incl = _blend_core_joint(
-                    alpha, t_carry_j, lane_loc, fchunk, nmemb)
-                incl_fill = jnp.where(included, t_incl, t_carry_j)
-                for u in range(nmemb):
-                    sl = slice(u * fchunk, (u + 1) * fchunk)
-                    # acc[p, ch] += sum_i w[p, i] * attrs[ch, i] (MXU over chunk)
-                    out_ref[u, :, 0:ncol] += jax.lax.dot_general(
-                        w[:, sl], data[ROW_R:ROW_R + ncol, sl],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        precision=MM_PRECISION,
-                        preferred_element_type=jnp.float32)
-                    m_incl = jnp.min(t_incl[:, sl], axis=1, keepdims=True)
-                    floor = jnp.min(incl_fill[:, sl], axis=1, keepdims=True)
-                    term = m_incl < TERM_EPS
-                    # latch final T once, at the chunk a pixel terminates in
-                    # (floor == T after its last included instance)
-                    tfin_ref[u, :, :] = jnp.where(term & (tc[u] > 0.0), floor,
-                                                  tfin_ref[u, :, :])
-                    t_ref[u, :, :] = jnp.where(term, 0.0, m_incl)
+            for s in range(sup):          # python-unrolled sub-chunks
+                k = ks * sup + s if sup > 1 else ks
+                if sup == 1:
+                    data = chunk_buf[slot]
+                else:
+                    data = jnp.concatenate(
+                        [chunk_buf[slot, :,
+                                   u * swidth + s * fchunk:
+                                   u * swidth + (s + 1) * fchunk]
+                         for u in range(nmemb)], axis=1)
+                alive_s = _alive_any(t_ref, nmemb) if s else alive
+                live_k = alive_s & (k < nmax) if sup > 1 else alive_s
+
+                @pl.when(live_k)
+                def _(k=k, data=data):
+                    _fwd_chunk(k, data)
 
         return ()
 
-    jax.lax.fori_loop(0, nmax, body, ())
+    jax.lax.fori_loop(0, nsup, body, ())
     for u in range(nmemb):
         tv = t_ref[u, :, :]
         out_ref[u, :, ncol:ncol + 1] = jnp.where(tv > 0.0, tv, tfin_ref[u, :, :])
@@ -1114,7 +1148,8 @@ def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
         out_specs=pl.BlockSpec((nmemb, spec.pixels, spec.out_channels),
                                lambda t, s: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, spec.rows, nmemb * spec.fwd_chunk), jnp.float32),
+            pltpu.VMEM((2, spec.rows, nmemb * spec.fwd_chunk * spec.fwd_super),
+                       jnp.float32),
             pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # t_carry (0 = done)
             pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # final-T latch
             pltpu.SMEM((1,), jnp.int32),                 # copy-in-flight flag
@@ -1236,6 +1271,7 @@ def rasterize_pallas(
     grad_mode: str = "full",
     grad_precision: str = "exact",
     bwd_reduce: str | None = None,
+    fwd_super: int | None = None,
     bwd_super: int | None = None,
 ) -> dict:
     """Full Pallas rasterization: pack -> blend -> assemble. Differentiable."""
@@ -1244,7 +1280,8 @@ def rasterize_pallas(
                            tile_size=tile_size, chunk=chunk, num_feat=num_feat,
                            budget=inst.gauss_id.shape[0], interpret=interpret,
                            fwd_mult=fwd_mult, align=align, grad_mode=grad_mode,
-                           grad_precision=grad_precision, bwd_super=bwd_super)
+                           grad_precision=grad_precision, fwd_super=fwd_super,
+                           bwd_super=bwd_super)
     packed, p_off = pack_instances(prep, opacities, features, inst, spec,
                                    means2d_override=means2d_override,
                                    interpret=interpret, bwd_reduce=bwd_reduce)

@@ -308,10 +308,10 @@ def test_segsum_backward_matches_gather():
                                        atol=1e-6, rtol=1e-5)
 
 
-def test_bwd_super_matches_baseline():
-    """bwd_super batches the backward's read DMAs (sup*chunk-wide windows,
-    chunk-wide compute/write) — values and every gradient must be bitwise
-    equal to the sup=1 kernel, including ragged tails (chunk counts not a
+def test_read_super_matches_baseline():
+    """fwd_super/bwd_super batch the kernels' read DMAs (sup*chunk-wide
+    windows, chunk-wide compute) — values and every gradient must be bitwise
+    equal to the sup=1 kernels, including ragged tails (chunk counts not a
     multiple of sup) and the feature grad_mode."""
     w = h = 32
     ts = 16
@@ -333,8 +333,8 @@ def test_bwd_super_matches_baseline():
                                  max_tiles_per_gaussian=16)
             out = rasterize_pallas(prep, inst, opac_, feats_, bg,
                                    image_height=h, image_width=w, tile_size=ts,
-                                   chunk=32, interpret=True, bwd_super=sup,
-                                   grad_mode=grad_mode)
+                                   chunk=32, interpret=True, fwd_super=sup,
+                                   bwd_super=sup, grad_mode=grad_mode)
             if grad_mode == "feature":
                 return jnp.mean((out["language_feature_image"] - ftarget) ** 2)
             return (jnp.mean((out["render"] - target) ** 2)
