@@ -47,6 +47,9 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
     ts = int(os.environ.get("BENCH_TS", 16))
     chunk = 128
+    # fwd chunk = fwd_mult*chunk; kernel read batching (fwd_super/bwd_super)
+    # comes in via the LANGSPLAT_* env knobs of rasterize_pallas
+    fwd_mult = int(os.environ.get("BENCH_FWD_MULT", 2))
     fov = 0.9
 
     rng = np.random.default_rng(0)
@@ -78,7 +81,8 @@ def main():
                                  max_tiles_per_gaussian=32, tile_size=ts,
                                  opacities=jax.lax.stop_gradient(o))
             out = rasterize_pallas(prep, inst, o, f, bg, image_height=h,
-                                   image_width=w, tile_size=ts, chunk=chunk)
+                                   image_width=w, tile_size=ts, chunk=chunk,
+                                   fwd_mult=fwd_mult)
             return jnp.mean(out["render"] ** 2) + jnp.mean(
                 out["language_feature_image"] ** 2)
 
