@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Sequential kernel-knob A/B at full bench scale on an uncontended chip.
+
+Runs bench.py under a matrix of env configs (fwd_mult x fwd_super x bwd_super
+by default) and prints one result line per config plus a ranked summary.
+Refuses to start while a quality-run RUNNING lock exists (the same guard
+bench.py reports): an A/B on a contended chip ranks noise, not kernels.
+
+Usage: python scripts/ab_kernels.py [--quick] [--configs k=v,k=v;k=v,...]
+"""
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_CONFIGS = [
+    # name, env overrides
+    ("mult2-base", {}),
+    ("mult1", {"BENCH_FWD_MULT": "1"}),
+    ("mult2-fsup2", {"LANGSPLAT_FWD_SUPER": "2"}),
+    ("mult2-bsup2", {"LANGSPLAT_BWD_SUPER": "2"}),
+    ("mult2-bsup4", {"LANGSPLAT_BWD_SUPER": "4"}),
+    ("mult1-fsup2-bsup2", {"BENCH_FWD_MULT": "1", "LANGSPLAT_FWD_SUPER": "2",
+                           "LANGSPLAT_BWD_SUPER": "2"}),
+    ("mult1-fsup4-bsup4", {"BENCH_FWD_MULT": "1", "LANGSPLAT_FWD_SUPER": "4",
+                           "LANGSPLAT_BWD_SUPER": "4"}),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="200k gaussians / 3 steps instead of the full bench")
+    ap.add_argument("--allow_contended", action="store_true")
+    ap.add_argument("--out", default=os.path.join(REPO, ".ab_kernels.json"))
+    args = ap.parse_args()
+
+    locks = glob.glob(os.path.join(REPO, ".quality_ws*", "RUNNING"))
+    if locks and not args.allow_contended:
+        sys.exit(f"refusing to A/B on a contended chip ({locks}); "
+                 f"wait or pass --allow_contended")
+
+    results = []
+    for name, env in DEFAULT_CONFIGS:
+        e = dict(os.environ, **env)
+        if args.quick:
+            e.setdefault("BENCH_N", "200000")
+            e.setdefault("BENCH_STEPS", "3")
+        p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                           env=e, capture_output=True, text=True, timeout=900)
+        line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            rec = {"error": p.stderr.strip()[-500:]}
+        rec["config"] = name
+        rec["env"] = env
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    ranked = sorted((r for r in results if r.get("value")),
+                    key=lambda r: -r["value"])
+    print("\n== ranked ==")
+    for r in ranked:
+        print(f"{r['config']:>22}: {r['value'] / 1e6:8.2f} M px/s "
+              f"(spread {r.get('slope_spread')})")
+    with open(args.out, "w") as fh:
+        json.dump(results, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
