@@ -162,8 +162,12 @@ def main():
         if s >= min_slope:
             slopes.append(s)
         if len(slopes) >= repeats:
-            ss = sorted(slopes)
+            # convergence over the most recent `repeats` slopes only: an early
+            # contended outlier must not force the loop to exhaust max_tries
+            # after the chip has gone quiet (ADVICE r4)
+            ss = sorted(slopes[-repeats:])
             if (ss[-1] - ss[0]) / ss[len(ss) // 2] <= 0.10:
+                slopes = slopes[-repeats:]
                 break
     if not slopes:
         print(json.dumps({
@@ -207,9 +211,10 @@ def main():
     # A concurrent quality run on the same chip silently contaminated the
     # round-3 driver bench; quality_run.py now drops a RUNNING lock per
     # workspace, and the bench declares the contention in its own artifact.
-    import glob as _glob
-    locks = _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    ".quality_ws*", "RUNNING"))
+    # Stale locks (dead pid / ancient mtime, e.g. a SIGKILLed run) are ignored
+    # and cleaned so a crashed run can't poison every future number (ADVICE r4).
+    from langsplat_tpu.utils.chiplock import active_quality_locks
+    locks = active_quality_locks(os.path.dirname(os.path.abspath(__file__)))
     if locks:
         print(f"WARNING: chip contended — quality run in flight ({locks}); "
               f"this number is not a clean measurement", file=sys.stderr)

@@ -764,11 +764,14 @@ def main():
     todo = args.stages.split(",")
     t0 = time.time()
     # chip-contention lock: bench.py refuses to publish a clean number while any
-    # .quality_ws*/RUNNING exists (round 3's BENCH_r03.json was silently
-    # contaminated by a concurrent quality-run eval on the same chip)
-    lock = os.path.join(args.ws, "RUNNING")
-    with open(lock, "w") as fh:
-        fh.write(f"pid={os.getpid()} t0={t0:.0f} stages={args.stages}\n")
+    # live .quality_ws*/RUNNING exists (round 3's BENCH_r03.json was silently
+    # contaminated by a concurrent quality-run eval on the same chip).  A
+    # --smoke run is forced to CPU and does not touch the chip, so it must NOT
+    # drop a lock (ADVICE r4: a smoke replay falsely tainted bench artifacts).
+    lock = os.path.join(args.ws, "RUNNING") if not args.smoke else None
+    if lock:
+        with open(lock, "w") as fh:
+            fh.write(f"pid={os.getpid()} t0={t0:.0f} stages={args.stages}\n")
     try:
         for st in todo:
             print(f"=== stage {st} ===", flush=True)
@@ -791,10 +794,11 @@ def main():
             print(f"=== {st} done ({time.time() - t0:.0f}s elapsed) ===",
                   flush=True)
     finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+        if lock:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
 
 
 if __name__ == "__main__":
