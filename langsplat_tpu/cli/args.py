@@ -40,9 +40,10 @@ def add_pipeline_args(p: argparse.ArgumentParser) -> None:
                    help="feature-phase training over a depth-rank sharded "
                         "mesh of this many devices (ring/blockwise analog)")
     p.add_argument("--data_shards", type=int, default=0,
-                   help="phase-A data-parallel training over this many devices "
-                        "(one view per device per step; grads + densify stats "
-                        "all-reduced over ICI)")
+                   help="data-parallel training over this many devices (one "
+                        "view per device per step; grads — and in phase A "
+                        "densify stats — all-reduced over ICI; in the feature "
+                        "phase mutually exclusive with --depth_shards)")
     p.add_argument("--zero2", action="store_true",
                    help="with --data_shards: shard Adam moments over the data "
                         "axis (ZeRO-2 reduce-scatter/all-gather step)")

@@ -54,14 +54,18 @@ class PipelineConfig:
                                        # analog, parallel/depth_sharded.py): >1
                                        # shards the instance stream across that
                                        # many devices; 0/1 = single-device
-    data_shards: int = 0               # phase-A training data-parallel over a
+    data_shards: int = 0               # training data-parallel over a
                                        # view-sharded mesh (parallel/
                                        # data_parallel.py): >1 renders that many
                                        # views per optimizer step (one per
-                                       # device), psums grads/densify stats over
-                                       # ICI, and runs densification + opacity
+                                       # device) and psums grads over ICI.
+                                       # Phase A additionally psums densify
+                                       # stats and runs densification + opacity
                                        # resets + capacity growth on the
-                                       # replicated state; 0/1 = single-device
+                                       # replicated state; phase B batches the
+                                       # masked feature L1 over the views
+                                       # (mutually exclusive with
+                                       # --depth_shards). 0/1 = single-device
     zero2: bool = False                # with data_shards: shard the Adam moments
                                        # over the data axis (ZeRO-2); capacity
                                        # rounds up to a mesh-divisible size

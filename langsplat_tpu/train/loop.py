@@ -276,16 +276,24 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                 depth_mesh, settings, optimizer)
         return depth_steps[settings]
 
-    # Data-parallel phase A (the reference's train.py:121-133 densification
-    # dynamic composed with a view-sharded mesh): each step renders one view
-    # per device, psums grads + densify stats over ICI, and the host-side
-    # densify/prune/reset/capacity-growth surgery runs on the replicated
-    # (zero2: gathered-row) state exactly as the single-device loop.
+    # Data-parallel training over a view-sharded mesh. Phase A: the
+    # reference's train.py:121-133 densification dynamic — each step renders
+    # one view per device, psums grads + densify stats over ICI, and the
+    # host-side densify/prune/reset/capacity-growth surgery runs on the
+    # replicated (zero2: gathered-row) state exactly as the single-device
+    # loop. Phase B: the masked feature L1 (reference train.py:96-99) is a
+    # mean over the view batch, so view sharding + grad pmean reproduces the
+    # serial per-view step numerics exactly — this is the scaling path for
+    # the 3-of-4 phases the reference trains in feature mode (process.sh:19-23).
     data_mesh = None
     dp_steps: dict = {}
     dp_ndev = max(pipe.data_shards, 1)
     dp_batch = dp_ndev * max(pipe.dp_views_per_device, 1)
-    if not include_feature and pipe.data_shards > 1:
+    if pipe.data_shards > 1:
+        if include_feature and pipe.depth_shards > 1:
+            raise ValueError(
+                "--data_shards and --depth_shards cannot be combined in the "
+                "feature phase; pick view parallelism or depth parallelism")
         from langsplat_tpu.parallel.mesh import make_mesh
         data_mesh = make_mesh(pipe.data_shards, axis_names=("data",))
         if pipe.zero2:
@@ -297,7 +305,8 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                 opt_state = pad_opt_state(opt_state, old_cap, new_cap)
                 stats = dn.DensifyStats.zeros(new_cap)
             opt_state = shard_opt_state(data_mesh, opt_state, field.capacity)
-        logger.log(f"phase A data-parallel over {dp_ndev} devices"
+        logger.log(f"phase {'B (feature)' if include_feature else 'A'} "
+                   f"data-parallel over {dp_ndev} devices"
                    + (" (ZeRO-2 optimizer sharding)" if pipe.zero2 else ""))
 
     def dp_step_for(settings, capacity, opt_state):
@@ -305,7 +314,8 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
         if key not in dp_steps:
             from langsplat_tpu.parallel.data_parallel import make_dp_train_step
             dp_steps[key] = make_dp_train_step(
-                data_mesh, settings, optimizer, include_feature=False,
+                data_mesh, settings, optimizer,
+                include_feature=include_feature,
                 lambda_dssim=ocfg.lambda_dssim, zero2=pipe.zero2,
                 capacity=capacity if pipe.zero2 else None,
                 opt_state_template=opt_state if pipe.zero2 else None)
@@ -360,8 +370,21 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                                   for c in dp_cams])
             dp_cpos = jnp.stack([jnp.asarray(c.camera_center)
                                  for c in dp_cams])
-            dp_gts = jnp.stack([_device_image(c) for c in dp_cams])
-            dp_masks = jnp.ones((dp_batch, 1, 1, 1))
+            if include_feature:
+                # schedule the whole batch first so the pool decodes the
+                # views concurrently, then gather; lookahead-schedule the
+                # next iteration's batch while this step computes
+                for c in dp_cams:
+                    prefetcher.schedule(c)
+                for j in range(dp_batch):
+                    prefetcher.schedule(
+                        schedule_cam(iteration * dp_batch + j)[0])
+                fm = [prefetcher.get(c) for c in dp_cams]
+                dp_gts = jnp.stack([f for f, _ in fm])
+                dp_masks = jnp.stack([m for _, m in fm])
+            else:
+                dp_gts = jnp.stack([_device_image(c) for c in dp_cams])
+                dp_masks = jnp.ones((dp_batch, 1, 1, 1))
         else:
             cam, epoch_pos = cam_at(iteration)
             if prefetcher is not None and epoch_pos + 1 < len(train_cams):
@@ -375,7 +398,14 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
             settings = make_settings(cam, pipe, active_sh_degree, include_feature,
                                      field.capacity, budget=budget_policy.budget,
                                      max_tiles=tmax_policy.tmax)
-            if include_feature:
+            if data_mesh is not None:
+                dpo = dp_step_for(settings, field.capacity, opt_state)(
+                    field, opt_state, stats, dp_views, dp_projs, dp_cpos,
+                    dp_gts, dp_masks, bg)
+                out = tr.StepOutput(dpo.field, dpo.opt_state, dpo.stats,
+                                    dpo.loss, dpo.loss, jnp.zeros(()),
+                                    dpo.dropped, dpo.rect_dropped)
+            elif include_feature:
                 gt_feat, gt_mask = prefetcher.get(cam)
                 if depth_mesh is not None:
                     nf, no, dloss, ddropped, drect = depth_step_for(settings)(
@@ -388,13 +418,6 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                         field, opt_state, stats, view, proj, campos,
                         gt_feat, gt_mask, bg,
                         settings=settings, optimizer=optimizer)
-            elif data_mesh is not None:
-                dpo = dp_step_for(settings, field.capacity, opt_state)(
-                    field, opt_state, stats, dp_views, dp_projs, dp_cpos,
-                    dp_gts, dp_masks, bg)
-                out = tr.StepOutput(dpo.field, dpo.opt_state, dpo.stats,
-                                    dpo.loss, dpo.loss, jnp.zeros(()),
-                                    dpo.dropped, dpo.rect_dropped)
             else:
                 out = tr.train_step_rgb(
                     field, opt_state, stats, view, proj, campos,

@@ -93,7 +93,10 @@ def test_dp_step_runs_and_matches_serial():
     assert float(jnp.sum(stats2.denom)) > 0
 
 
-def test_dp_feature_step_runs():
+def test_dp_feature_step_matches_serial():
+    """Feature-phase DP step == the serial batched masked-L1 oracle: same
+    loss, same updated language features after one Adam step (the batch loss
+    is a mean over views — reference train.py:96-99 per-view semantics)."""
     mesh = make_mesh(8)
     h = w = 32
     views, projs, cpos, tanf = batched_cameras(v=8, w=w, h=h)
@@ -103,17 +106,40 @@ def test_dp_feature_step_runs():
                               budget=1024)
     bg = jnp.zeros(3)
     field = make_field(n=12, cap=32, seed=5).with_language_feature(3)
-    gts = jnp.zeros((8, 3, h, w))
-    masks = jnp.ones((8, 1, h, w))
+    rng = np.random.default_rng(7)
+    gts = jnp.asarray(rng.normal(size=(8, 3, h, w)).astype(np.float32))
+    # non-trivial masks: some views mostly masked out (SAM no-feature pixels)
+    masks = jnp.asarray((rng.uniform(size=(8, 1, h, w)) > 0.3)
+                        .astype(np.float32))
     cfg = OptimizationConfig()
     opt = tr.make_optimizer(cfg, spatial_lr_scale=1.0, include_feature=True)
-    opt_state = opt.init(tr.extract_params(field, True))
+    params = tr.extract_params(field, True)
+    opt_state = opt.init(params)
     stats = dn.DensifyStats.zeros(32)
     step = make_dp_train_step(mesh, settings, opt, include_feature=True)
     out = step(field, opt_state, stats, views, projs, cpos, gts, masks, bg)
     assert np.isfinite(float(out.loss))
     # geometry untouched
     np.testing.assert_array_equal(np.asarray(out.field.xyz), np.asarray(field.xyz))
+
+    # serial oracle: vmap over the whole view batch on one device
+    from langsplat_tpu.core import losses
+
+    def serial_loss(p):
+        f = tr.merge_params(field, p)
+
+        def one(view, proj, cp, gt, mask):
+            o = render(f, settings, view, proj, cp, bg)
+            return losses.masked_l1_loss(o["language_feature_image"], gt, mask)
+
+        return jnp.mean(jax.vmap(one)(views, projs, cpos, gts, masks))
+
+    sloss, sgrads = jax.value_and_grad(serial_loss)(params)
+    np.testing.assert_allclose(float(out.loss), float(sloss), atol=1e-6)
+    supd, _ = opt.update(sgrads, opt_state, params)
+    sfeat = params["language_feature"] + supd["language_feature"]
+    np.testing.assert_allclose(np.asarray(out.field.get_language_feature),
+                               np.asarray(sfeat), atol=1e-6)
 
 
 def test_dp_spatial_2d_mesh_matches_dp():
