@@ -90,6 +90,24 @@ def densify_and_prune(field: GaussianField, stats: DensifyStats, rng: jax.Array,
                       percent_dense: float = 0.01, min_opacity: float = 0.005,
                       use_size_threshold: bool = False,
                       size_threshold: float = 20.0) -> DensifyResult:
+    noise = jax.random.normal(rng, (field.capacity, 2, 3), field.xyz.dtype)
+    return densify_core(field, stats, noise, extent=extent,
+                        grad_threshold=grad_threshold,
+                        percent_dense=percent_dense, min_opacity=min_opacity,
+                        use_size_threshold=use_size_threshold,
+                        size_threshold=size_threshold)
+
+
+def densify_core(field: GaussianField, stats: DensifyStats, noise: jnp.ndarray,
+                 *, extent: float, grad_threshold: float = 0.0002,
+                 percent_dense: float = 0.01, min_opacity: float = 0.005,
+                 use_size_threshold: bool = False,
+                 size_threshold: float = 20.0) -> DensifyResult:
+    """densify_and_prune with the split-sample STANDARD-NORMAL noise [cap, 2, 3]
+    passed in. Clone/split/prune decisions are purely per-row, so this core runs
+    unchanged on a Gaussian-axis SHARD inside shard_map (shard-local free-slot
+    allocation; see parallel/gauss_densify.py) — passing globally-generated
+    noise keeps split children identical across mesh shapes."""
     cap = field.capacity
     alive = field.alive
     grads = jnp.where(stats.denom > 0, stats.grad_accum / stats.denom, 0.0)
@@ -110,7 +128,7 @@ def densify_and_prune(field: GaussianField, stats: DensifyStats, rng: jax.Array,
 
     # children: slot j in {0,1}; clones emit 1, splits emit 2
     emit = jnp.stack([clone_mask | split_mask, split_mask], axis=1)     # [cap, 2]
-    noise = jax.random.normal(rng, (cap, 2, 3), field.xyz.dtype) * scales[:, None, :]
+    noise = noise * scales[:, None, :]
     R = quat_to_rotmat(field.rotation)                                  # [cap, 3, 3]
     offsets = jnp.einsum("cij,ckj->cki", R, noise,
                           precision=jax.lax.Precision.HIGHEST)    # [cap, 2, 3]

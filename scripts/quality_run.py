@@ -772,9 +772,28 @@ def main():
     if lock:
         with open(lock, "w") as fh:
             fh.write(f"pid={os.getpid()} t0={t0:.0f} stages={args.stages}\n")
+    # Per-stage wall-clock records (weak r04 #6: two rounds collided with a
+    # monolithic multi-hour run whose stage costs were never written down).
+    # stage_times.json accumulates measured durations; at startup the known
+    # costs of the stages still to run are summed into a printed ETA so the
+    # operator can budget the round (and split with --stages deliberately).
+    times_path = os.path.join(args.ws, "stage_times.json")
+    stage_times = {}
+    try:
+        with open(times_path) as fh:
+            stage_times = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        pass
+    known = [st for st in todo if st in stage_times]
+    if known:
+        eta = sum(stage_times[st] for st in known)
+        print(f"ETA (recorded stages {','.join(known)}): {eta / 60:.0f} min; "
+              f"unrecorded: {','.join(st for st in todo if st not in known) or 'none'}",
+              flush=True)
     try:
         for st in todo:
             print(f"=== stage {st} ===", flush=True)
+            st_t0 = time.time()
             if st == "scene":
                 stage_scene(args.ws)
             elif st == "ae":
@@ -791,8 +810,14 @@ def main():
                 stage_eval(args.ws)
             elif st == "report":
                 stage_report(args.ws, args.report_path)
-            print(f"=== {st} done ({time.time() - t0:.0f}s elapsed) ===",
-                  flush=True)
+            stage_times[st] = round(time.time() - st_t0, 1)
+            try:
+                with open(times_path, "w") as fh:
+                    json.dump(stage_times, fh, indent=1)
+            except OSError:
+                pass
+            print(f"=== {st} done ({stage_times[st]:.0f}s stage, "
+                  f"{time.time() - t0:.0f}s elapsed) ===", flush=True)
     finally:
         if lock:
             try:
