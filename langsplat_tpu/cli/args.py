@@ -44,6 +44,11 @@ def add_pipeline_args(p: argparse.ArgumentParser) -> None:
                         "view per device per step; grads — and in phase A "
                         "densify stats — all-reduced over ICI; in the feature "
                         "phase mutually exclusive with --depth_shards)")
+    p.add_argument("--gauss_shards", type=int, default=0,
+                   help="tensor-parallel training over the Gaussian axis on "
+                        "this many devices (params/Adam/stats sharded, blend "
+                        "tile-banded, shard-local densification; mutually "
+                        "exclusive with --data_shards/--depth_shards)")
     p.add_argument("--zero2", action="store_true",
                    help="with --data_shards: shard Adam moments over the data "
                         "axis (ZeRO-2 reduce-scatter/all-gather step)")
@@ -104,6 +109,7 @@ def extract_configs(args) -> TrainConfig:
         interpret=getattr(args, "interpret", False),
         depth_shards=getattr(args, "depth_shards", 0),
         data_shards=getattr(args, "data_shards", 0),
+        gauss_shards=getattr(args, "gauss_shards", 0),
         zero2=getattr(args, "zero2", False),
         dp_views_per_device=getattr(args, "dp_views_per_device", 1))
     okw = {}

@@ -66,6 +66,17 @@ class PipelineConfig:
                                        # masked feature L1 over the views
                                        # (mutually exclusive with
                                        # --depth_shards). 0/1 = single-device
+    gauss_shards: int = 0              # tensor-parallel training over the
+                                       # Gaussian axis (parallel/
+                                       # gauss_sharded.py): >1 shards params +
+                                       # Adam moments + densify stats over that
+                                       # many devices (ZeRO-3-like capacity
+                                       # scaling), blends tile-banded over the
+                                       # same axis, and runs densification
+                                       # shard-local (parallel/
+                                       # gauss_densify.py). Mutually exclusive
+                                       # with --data_shards/--depth_shards.
+                                       # 0/1 = single-device
     zero2: bool = False                # with data_shards: shard the Adam moments
                                        # over the data axis (ZeRO-2); capacity
                                        # rounds up to a mesh-divisible size

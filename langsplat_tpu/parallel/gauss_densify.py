@@ -15,9 +15,14 @@ cross-row interaction), so each shard can run the exact serial decision rule
 on its own rows via `densify_core` inside `shard_map`, placing children in
 ITS OWN free slots. Decisions are then bitwise-identical to the serial rule
 on any mesh shape; only child placement (which row a child lands in —
-semantically arbitrary) is mesh-dependent. The split sample noise is
-generated GLOBALLY from (key) and passed in sharded, so children's positions
-are also mesh-shape-invariant.
+semantically arbitrary) is mesh-dependent.
+
+The split-sample noise is generated globally per SLOT, so while slot
+layouts agree (no spread_rows re-layout, same capacity) children are
+bitwise mesh-shape-invariant; after a mesh-dependent re-layout the draws
+differ per mesh (identical distribution — the reference's RNG stream is
+equally layout-dependent). The clone/split/prune DECISIONS are invariant
+regardless.
 
 Overflow is conservative: a shard with no free rows reports overflow even if
 another shard has spares (no cross-shard rebalancing), so capacity growth

@@ -51,6 +51,8 @@ class GaussShardedStepOutput(NamedTuple):
     opt_state: object
     stats: DensifyStats
     loss: jnp.ndarray
+    dropped: jnp.ndarray       # [] int32, psum over bands (budget-cap overflow)
+    rect_dropped: jnp.ndarray  # [] int32, psum over bands
 
 
 def capacity_specs(tree, capacity: int, axis: str):
@@ -69,6 +71,31 @@ def shard_state(mesh: Mesh, tree, capacity: int, axis: str = "gauss"):
     specs = capacity_specs(tree, capacity, axis)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
+
+
+def spread_rows(tree, capacity: int, ndev: int):
+    """Round-robin permute [capacity, ...] rows across the ndev contiguous row
+    shards (old row i -> shard i % ndev).
+
+    Row ids are semantically arbitrary, but shard-LOCAL densification
+    (parallel/gauss_densify.py) allocates children from the shard's own free
+    rows — and `create_from_pcd` packs alive rows into a prefix, which would
+    leave shard 0 with zero free slots (every densify there overflows) while
+    the last shards sit empty. Apply the same permutation to field, optimizer
+    state and stats together; re-apply after capacity growth, whose padding
+    otherwise lands entirely in the tail shard."""
+    if capacity % ndev:
+        raise ValueError(f"capacity {capacity} must divide by ndev {ndev}")
+    rows = capacity // ndev
+    j = jnp.arange(capacity)
+    perm = (j % rows) * ndev + j // rows  # new slot j takes old row perm[j]
+
+    def f(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == capacity:
+            return x[perm]
+        return x
+
+    return jax.tree.map(f, tree)
 
 
 def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimizer,
@@ -157,7 +184,8 @@ def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimize
                     l1 = losses.l1_loss(pred, gt_band)
                     local = ((1.0 - lambda_dssim) * l1 + lambda_dssim *
                              (1.0 - losses.ssim(pred, gt_band)))
-                return local, (prep.radii > 0, prep.radii)
+                return local, (prep.radii > 0, prep.radii,
+                               out["instances_dropped"], out["rect_dropped"])
 
             per_view, aux = jax.vmap(one_view)(viewmats, projmats, campos, gts,
                                                masks, ss)
@@ -167,8 +195,12 @@ def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimize
             scale = padded_h / settings.image_height
             return jnp.mean(per_view) * (scale / n_bands), aux
 
-        (local_loss, (vis, radii)), (grads, ss_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(params, zeros3d)
+        (local_loss, (vis, radii, drop_v, rect_v)), (grads, ss_grad) = \
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, zeros3d)
+        # each band bins its own tiles: totals sum over the gauss (band) axis
+        dropped = jax.lax.psum(jnp.sum(drop_v), gauss_axis)
+        rect_dropped = jax.lax.psum(jnp.sum(rect_v), gauss_axis)
 
         # densify-stat tap in the reference's per-view half-image units
         # (matches data_parallel/dp_spatial): each view's full-image gradient
@@ -191,6 +223,8 @@ def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimize
             denom_sum = jax.lax.psum(denom_sum, data_axis)
             loss = jax.lax.pmean(loss, data_axis)
             max_radii = jax.lax.pmax(max_radii, data_axis)
+            dropped = jax.lax.psum(dropped, data_axis)
+            rect_dropped = jax.lax.psum(rect_dropped, data_axis)
 
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -199,14 +233,16 @@ def make_gauss_sharded_train_step(mesh: Mesh, settings: RenderSettings, optimize
             grad_accum=stats.grad_accum + gnorm_sum,
             denom=stats.denom + denom_sum,
             max_radii2d=jnp.maximum(stats.max_radii2d, max_radii))
-        return GaussShardedStepOutput(new_field, new_opt_state, new_stats, loss)
+        return GaussShardedStepOutput(new_field, new_opt_state, new_stats, loss,
+                                      dropped, rect_dropped)
 
     rep = P()
     views_spec = P(data_axis) if data_axis is not None else rep
     field_specs = capacity_specs(field_template, capacity, gauss_axis)
     opt_specs = capacity_specs(opt_state_template, capacity, gauss_axis)
     stats_specs = capacity_specs(DensifyStats.zeros(capacity), capacity, gauss_axis)
-    out_specs = GaussShardedStepOutput(field_specs, opt_specs, stats_specs, rep)
+    out_specs = GaussShardedStepOutput(field_specs, opt_specs, stats_specs, rep,
+                                       rep, rep)
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(field_specs, opt_specs, stats_specs,

@@ -321,6 +321,66 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                 opt_state_template=opt_state if pipe.zero2 else None)
         return dp_steps[key]
 
+    # Tensor-parallel (gauss-sharded) training from the CLI: parameters, Adam
+    # moments and densify stats shard over the 'gauss' axis (ZeRO-3-like
+    # capacity scaling, docs/SCALING.md TP row), blending is tile-banded over
+    # the same axis, and densification runs shard-local with serial-equal
+    # decisions (parallel/gauss_densify.py).
+    gauss_mesh = None
+    gs_steps: dict = {}
+    gs_densify: dict = {}
+    gs_ndev = max(pipe.gauss_shards, 1)
+    if pipe.gauss_shards > 1:
+        if pipe.data_shards > 1 or pipe.depth_shards > 1:
+            raise ValueError(
+                "--gauss_shards cannot be combined with --data_shards or "
+                "--depth_shards; pick one parallelism axis per run")
+        from langsplat_tpu.parallel.mesh import make_mesh
+        from langsplat_tpu.parallel.gauss_sharded import (shard_state,
+                                                          spread_rows)
+        gauss_mesh = make_mesh(pipe.gauss_shards, axis_names=("gauss",))
+        if field.capacity % gs_ndev:
+            old_cap = field.capacity
+            new_cap = -(-old_cap // gs_ndev) * gs_ndev
+            field = grow_capacity(field, new_cap)
+            opt_state = pad_opt_state(opt_state, old_cap, new_cap)
+            stats = dn.DensifyStats.zeros(new_cap)
+        # round-robin rows across shards: a front-packed init would leave
+        # shard 0 with no free densify slots (see spread_rows)
+        field = spread_rows(field, field.capacity, gs_ndev)
+        opt_state = spread_rows(opt_state, field.capacity, gs_ndev)
+        stats = spread_rows(stats, field.capacity, gs_ndev)
+        field = shard_state(gauss_mesh, field, field.capacity)
+        opt_state = shard_state(gauss_mesh, opt_state, field.capacity)
+        stats = shard_state(gauss_mesh, stats, field.capacity)
+        logger.log(f"gauss-sharded (TP) over {gs_ndev} devices: params/Adam/"
+                   f"stats 1/{gs_ndev} per device, tile-banded blend, "
+                   f"shard-local densification")
+
+    def gs_step_for(settings, capacity, field, opt_state):
+        key = (settings, capacity)
+        if key not in gs_steps:
+            from langsplat_tpu.parallel.gauss_sharded import (
+                make_gauss_sharded_train_step)
+            gs_steps[key] = make_gauss_sharded_train_step(
+                gauss_mesh, settings, optimizer,
+                include_feature=include_feature, capacity=capacity,
+                field_template=field, opt_state_template=opt_state,
+                lambda_dssim=ocfg.lambda_dssim)
+        return gs_steps[key]
+
+    def gs_densify_for(capacity, use_size, field):
+        key = (capacity, use_size)
+        if key not in gs_densify:
+            from langsplat_tpu.parallel.gauss_densify import (
+                make_sharded_densify)
+            gs_densify[key] = make_sharded_densify(
+                gauss_mesh, field, capacity, extent=scene.cameras_extent,
+                grad_threshold=ocfg.densify_grad_threshold,
+                percent_dense=ocfg.percent_dense, min_opacity=0.005,
+                use_size_threshold=use_size, size_threshold=20.0)
+        return gs_densify[key]
+
     trace_active = False
     for iteration in range(first_iter + 1, ocfg.iterations + 1):
         if cfg.profile_dir:
@@ -405,6 +465,19 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                 out = tr.StepOutput(dpo.field, dpo.opt_state, dpo.stats,
                                     dpo.loss, dpo.loss, jnp.zeros(()),
                                     dpo.dropped, dpo.rect_dropped)
+            elif gauss_mesh is not None:
+                if include_feature:
+                    gt_feat, gt_mask = prefetcher.get(cam)
+                    gts_b, masks_b = gt_feat[None], gt_mask[None]
+                else:
+                    gts_b = _device_image(cam)[None]
+                    masks_b = jnp.ones((1, 1, 1, 1))
+                gso = gs_step_for(settings, field.capacity, field, opt_state)(
+                    field, opt_state, stats, view[None], proj[None],
+                    campos[None], gts_b, masks_b, bg)
+                out = tr.StepOutput(gso.field, gso.opt_state, gso.stats,
+                                    gso.loss, gso.loss, jnp.zeros(()),
+                                    gso.dropped, gso.rect_dropped)
             elif include_feature:
                 gt_feat, gt_mask = prefetcher.get(cam)
                 if depth_mesh is not None:
@@ -485,11 +558,16 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                 # draws the same split samples an uninterrupted run would
                 sub = jax.random.fold_in(key, iteration)
                 use_size = iteration > ocfg.opacity_reset_interval
-                res = dn.densify_and_prune(
-                    field, stats, sub, extent=scene.cameras_extent,
-                    grad_threshold=ocfg.densify_grad_threshold,
-                    percent_dense=ocfg.percent_dense, min_opacity=0.005,
-                    use_size_threshold=use_size, size_threshold=20.0)
+                if gauss_mesh is not None:
+                    # shard-local slot allocation with serial-equal decisions
+                    res = gs_densify_for(field.capacity, use_size, field)(
+                        field, stats, sub)
+                else:
+                    res = dn.densify_and_prune(
+                        field, stats, sub, extent=scene.cameras_extent,
+                        grad_threshold=ocfg.densify_grad_threshold,
+                        percent_dense=ocfg.percent_dense, min_opacity=0.005,
+                        use_size_threshold=use_size, size_threshold=20.0)
                 field, stats = res.field, res.stats
                 opt_state = tr.zero_moment_rows(opt_state, res.reset_mask,
                                                 field.capacity)
@@ -498,6 +576,8 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                     new_cap = int(old_cap * ocfg.capacity_growth_factor)
                     if data_mesh is not None and pipe.zero2:
                         new_cap = -(-new_cap // dp_ndev) * dp_ndev
+                    if gauss_mesh is not None:
+                        new_cap = -(-new_cap // gs_ndev) * gs_ndev
                     logger.log(f"[iter {iteration}] capacity {old_cap} -> {new_cap} "
                                f"(overflow {int(res.overflow)})")
                     field = grow_capacity(field, new_cap)
@@ -509,7 +589,19 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
                             shard_opt_state)
                         opt_state = shard_opt_state(data_mesh, opt_state,
                                                     new_cap)
+                    if gauss_mesh is not None:
+                        # re-spread + re-chunk the grown rows over the gauss
+                        # axis (the padding tail would otherwise land entirely
+                        # in the last shard)
+                        from langsplat_tpu.parallel.gauss_sharded import (
+                            shard_state, spread_rows)
+                        field = spread_rows(field, new_cap, gs_ndev)
+                        opt_state = spread_rows(opt_state, new_cap, gs_ndev)
+                        field = shard_state(gauss_mesh, field, new_cap)
+                        opt_state = shard_state(gauss_mesh, opt_state, new_cap)
                     stats = dn.DensifyStats.zeros(new_cap)
+                    if gauss_mesh is not None:
+                        stats = shard_state(gauss_mesh, stats, new_cap)
                 logger.scalar("total_points", int(res.num_alive), iteration)
 
             if iteration % ocfg.opacity_reset_interval == 0 or (

@@ -144,3 +144,64 @@ def test_tp_train_densify_grow_composition():
     out2 = step2(f, o, s, views, projs, cpos, gts, masks, bg)
     assert np.isfinite(float(out2.loss))
     assert int(jnp.sum(out2.field.alive)) == int(res.num_alive)
+
+
+def test_cli_phase_a_gauss_sharded(tmp_path):
+    """--gauss_shards N trains phase A tensor-parallel from the CLI through
+    densify cycles + opacity resets; decisions are mesh-shape-invariant
+    (8-shard vs 2-shard runs agree on the alive structure)."""
+    import os
+    from tests.test_data import make_colmap_scene
+
+    root = str(tmp_path / "scene")
+    make_colmap_scene(root, n_cams=8)
+
+    def run(tag, shards):
+        out = str(tmp_path / f"tp_{tag}")
+        from langsplat_tpu.cli.train_cli import main as train_main
+        train_main([
+            "-s", root, "-m", out, "--no_include_feature", "--resolution", "1",
+            "--iterations", "40", "--interpret", "--quiet",
+            # opacity reset disabled HERE: it clamps opacities to 0.01, two
+            # Adam steps from the 0.005 prune boundary — cross-mesh ulp drift
+            # (band partial-sum order) then flips borderline prunes and the
+            # exact-structure assert below can't hold. Reset+densify cycles
+            # are covered by tests/test_dp_loop.py; this test pins the TP
+            # WIRING (sharded step + shard-local densify + surgery from the
+            # CLI) with decisions saturated away from every boundary.
+            # ... and a small opacity LR: at the default 0.05, 40 Adam steps
+            # can walk an opacity from init 0.1 to the 0.005 prune boundary,
+            # where the same ulp drift flips a single prune (observed 198 vs
+            # 199 alive).
+            "--densify_from_iter", "5", "--densification_interval", "12",
+            "--densify_until_iter", "36", "--opacity_reset_interval", "999",
+            "--opacity_lr", "0.001",
+            "--densify_grad_threshold", "0.0000001",
+            "--test_iterations", "999", "--save_iterations", "999",
+            "--checkpoint_iterations", "40", "--sh_degree", "1",
+            "--lambda_dssim", "0",  # banded L1 is exact; banded SSIM is not
+            # ample capacity: shard-local overflow is conservative (mesh-
+            # dependent), so exact mesh invariance is only promised while no
+            # shard overflows; with the threshold saturated the population
+            # ~doubles per cycle (3 cycles ~= 8x init), hence factor 12
+            "--initial_capacity_factor", "12",
+            "--gauss_shards", str(shards),
+        ])
+        ck = os.path.join(out + "_-1", "chkpnt40.npz")
+        assert os.path.exists(ck), f"{tag}: no checkpoint written"
+        data = np.load(ck)
+        return {"xyz": data["field_0"], "alive": data["field_6"]}
+
+    a = run("m8", 8)
+    b = run("m2", 2)
+    assert a["alive"].sum() > 0
+    # identical DECISIONS -> identical structure counts. Positions are NOT
+    # compared across mesh shapes: the split-sample noise is slot-keyed and
+    # spread_rows' slot layout is mesh-dependent, so children draw different
+    # (identically distributed) samples once layouts diverge — the same way
+    # the reference's RNG stream is layout-dependent. Slot-matched noise
+    # parity is pinned by test_sharded_densify_matches_serial_decisions.
+    assert a["alive"].sum() == b["alive"].sum(), (
+        "TP densify structure diverged across mesh shapes")
+    am = a["xyz"][a["alive"].astype(bool)]
+    assert np.isfinite(am).all()
