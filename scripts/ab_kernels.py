@@ -26,6 +26,8 @@ DEFAULT_CONFIGS = [
     ("mult2-fsup2", {"LANGSPLAT_FWD_SUPER": "2"}),
     ("mult2-bsup2", {"LANGSPLAT_BWD_SUPER": "2"}),
     ("mult2-bsup4", {"LANGSPLAT_BWD_SUPER": "4"}),
+    ("mult1-fsup2", {"BENCH_FWD_MULT": "1", "LANGSPLAT_FWD_SUPER": "2"}),
+    ("mult1-bsup2", {"BENCH_FWD_MULT": "1", "LANGSPLAT_BWD_SUPER": "2"}),
     ("mult1-fsup2-bsup2", {"BENCH_FWD_MULT": "1", "LANGSPLAT_FWD_SUPER": "2",
                            "LANGSPLAT_BWD_SUPER": "2"}),
     ("mult1-fsup4-bsup4", {"BENCH_FWD_MULT": "1", "LANGSPLAT_FWD_SUPER": "4",

@@ -108,8 +108,14 @@ def main():
         measured = int(probe_count(*map(jnp.asarray, (means, scales, quats, colors))))
         budget = -(-int(measured * 1.1) // 4096) * 4096
 
+    # PROF_GRAD_MODE=feature profiles the phase-B step: the feature phase runs
+    # 3 of the reference's 4 training runs (process.sh:19-23), its backward
+    # skips the geometric chain and its pack backward sorts only the 3
+    # feature cotangent rows (grad_rows narrowing)
+    grad_mode = os.environ.get("PROF_GRAD_MODE", "full")
     spec = make_blend_spec(image_height=h, image_width=w, tile_size=ts, chunk=chunk,
-                           num_feat=3, budget=budget, fwd_mult=fwd_mult)
+                           num_feat=3, budget=budget, fwd_mult=fwd_mult,
+                           grad_mode=grad_mode)
 
     @jax.jit
     def stage_prep(m, s, q, c):
@@ -155,6 +161,11 @@ def main():
                                      inst.tile_start[1:] - inst.tile_start[:-1]])
             tiles = blend_tiles(packed, jax.lax.stop_gradient(sched), spec, False)
             return jnp.mean(tiles[:, :, :7] ** 2)
+        if grad_mode == "feature":
+            # phase-B semantics: geometry frozen, d(language_feature) only
+            # (reference train.py:96-99; trainer.train_step_feature)
+            return jax.value_and_grad(
+                lambda f_: loss(m, s, q, c, o, f_))(f)
         return jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5))(m, s, q, c, o, f)
 
     @jax.jit
