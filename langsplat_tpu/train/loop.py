@@ -651,14 +651,27 @@ def training(cfg: TrainConfig, gui_host: str = "127.0.0.1",
             "active_sh_degree": active_sh_degree}
 
 
+#: absolute instance ceiling for eval renders: ~16.7M instances x 12 rows f32
+#: ~= 800 MB — far past any real view, cheap insurance against a runaway loop
+RENDER_BUDGET_CEILING = 1 << 24
+
+
 def render_full(field, cam, pipe, active_sh_degree, include_feature, bg,
                 budget: int = 0, max_tiles: int = 0):
     """Render one view, retrying at a doubled instance budget / max_tiles cap
-    until nothing is dropped (up to the budget cap) — eval/test views can touch
-    more tiles than the training views the adaptive budget was sized for, and
-    the reference never truncates (resizeFunctional semantics)."""
-    cap = BudgetPolicy(pipe, field.capacity).cap(field.capacity)
-    budget = min(budget or cap, cap)
+    until nothing is dropped — eval/test views can touch more tiles than the
+    training views the adaptive budget was sized for, and the reference never
+    truncates (resizeFunctional semantics).
+
+    The budget_factor * capacity cap bounds TRAINING-step memory; it is not a
+    correct bound for eval renders — a 30k-iter model pruned to a small
+    capacity can carry huge splats (tmax in the thousands) whose per-view
+    instance count exceeds any per-capacity factor (seen at the r04 quality
+    run's render stage: 250k instances on 14.8k Gaussians). Eval renders
+    therefore grow past the policy cap, up to an absolute ceiling."""
+    policy_cap = BudgetPolicy(pipe, field.capacity).cap(field.capacity)
+    cap = min(max(policy_cap, 64 * field.capacity), RENDER_BUDGET_CEILING)
+    budget = min(budget or policy_cap, cap)
     tmax_policy = TmaxPolicy(pipe, [cam])
     if max_tiles:
         tmax_policy.tmax = min(max_tiles, tmax_policy.grid_cap)
