@@ -8,7 +8,8 @@ runs the same check compiled on the real TPU (loss + all five gradients, sup
 in {2,4}, grad_mode in {full,feature}) and prints one JSON line.
 
 Run it on an uncontended chip; it is small (60 gaussians, 32x32) and finishes
-in under a minute after compile.
+in under a minute after compile. (chunk=128: compiled mode requires
+lane-aligned chunks, unlike the interpret-mode test's chunk=32.)
 """
 
 import json
@@ -53,7 +54,7 @@ def main():
                                  max_tiles_per_gaussian=16)
             out = rasterize_pallas(prep, inst, opac_, feats_, bg,
                                    image_height=h, image_width=w, tile_size=ts,
-                                   chunk=32, interpret=False, fwd_super=sup,
+                                   chunk=128, interpret=False, fwd_super=sup,
                                    bwd_super=sup, grad_mode=grad_mode)
             if grad_mode == "feature":
                 return jnp.mean((out["language_feature_image"] - ftarget) ** 2)
