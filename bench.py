@@ -47,9 +47,8 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
     ts = int(os.environ.get("BENCH_TS", 16))
     chunk = 128
-    # fwd chunk = fwd_mult*chunk; kernel read batching (fwd_super/bwd_super)
-    # comes in via the LANGSPLAT_* env knobs of rasterize_pallas
-    fwd_mult = int(os.environ.get("BENCH_FWD_MULT", 2))
+    # fwd chunk = fwd_mult*chunk
+    fwd_mult = int(os.environ.get("BENCH_FWD_MULT", 1))
     fov = 0.9
 
     rng = np.random.default_rng(0)

@@ -84,21 +84,13 @@ class BlendSpec(NamedTuple):
                            # d(language_feature) — the backward then skips the
                            # dalpha/moment machinery and reduces only the
                            # feature rows
-    fwd_super: int = 1     # forward read-DMA batching: same scheme as
-                           # bwd_super below, for the forward kernel's
-                           # instance stream (fwd_super*fwd_chunk-wide
-                           # windows, fwd_chunk-wide compute).
-    bwd_super: int = 1     # backward read-DMA batching: each in-copy fetches
-                           # bwd_super*chunk columns per member while compute
-                           # and the gradient WRITE path stay at `chunk`
-                           # granularity (the write-side sacrificial-tail
-                           # reasoning only holds for chunk-wide windows).
-                           # Halves/quarters the per-chunk DMA issue+wait
-                           # scalar work without widening the triangular
-                           # cumsum. The aligned tail grows by
-                           # (bwd_super-1)*chunk so a live super-window never
-                           # clamps (a clamped live read would shift columns
-                           # under the count mask and corrupt gradients).
+    # (Removed r05: fwd_super/bwd_super read-DMA batching. Measured on the
+    # uncontended chip at bench scale they LOSE at the fwd_mult=1 default
+    # (mult1 6.04 M px/s vs mult1+bsup2 5.99, mult1+fsup2 5.97) and are a
+    # wash at mult2 — the round-4 "mult1 5.78 M" that motivated them was a
+    # contaminated measurement. Bitwise parity WAS proven interpret+compiled
+    # before deletion (verify_super_compiled.py at 7776f7a); see
+    # docs/ROOFLINE.md round-5 notes.)
     grad_precision: str = "exact"  # "exact" | "bf16": bf16 runs every backward-
                            # kernel matmul at DEFAULT (single-pass bf16) — the
                            # rendered image stays exact, gradients pick up
@@ -142,9 +134,7 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
                     num_feat: int, budget: int, interpret: bool = False,
                     fwd_mult: int = 1, align: int | None = None,
                     grad_mode: str = "full",
-                    grad_precision: str = "exact",
-                    fwd_super: int | None = None,
-                    bwd_super: int | None = None) -> BlendSpec:
+                    grad_precision: str = "exact") -> BlendSpec:
     if chunk <= 0:
         raise ValueError(f"chunk must be positive, got {chunk}")
     if chunk % 128 != 0 and not interpret:
@@ -163,18 +153,11 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
         raise ValueError(f"chunk sizes must be multiples of align={align}")
     if align % 128 != 0 and not interpret:
         raise ValueError(f"align must be a multiple of 128 on TPU, got {align}")
-    if fwd_super is None:
-        fwd_super = FWD_SUPER
-    if bwd_super is None:
-        bwd_super = BWD_SUPER
-    for nm, v in (("fwd_super", fwd_super), ("bwd_super", bwd_super)):
-        if v not in (1, 2, 4):
-            raise ValueError(f"{nm} must be 1, 2 or 4, got {v}")
-    # worst case every tile has a partial align-quantum of padding; the global tail
-    # gets one extra fwd/bwd super-window so a final partial-window DMA never
-    # reads out of bounds (and never clamps while live sub-chunks remain)
+    # worst case every tile has a partial align-quantum of padding; the global
+    # tail gets one extra fwd window so a final partial-chunk DMA never reads
+    # out of bounds
     aligned = (_round_up(budget + gx * gy * (align - 1), align)
-               + max(chunk * fwd_mult * fwd_super, chunk * bwd_super) - align)
+               + chunk * fwd_mult - align)
     aligned = _round_up(aligned, align)
     if grad_mode not in ("full", "feature"):
         raise ValueError(f"grad_mode must be 'full' or 'feature', got {grad_mode}")
@@ -186,8 +169,7 @@ def make_blend_spec(*, image_height: int, image_width: int, tile_size: int, chun
     return BlendSpec(grid_x=gx, grid_y=gy, tile_size=tile_size, chunk=chunk,
                      num_feat=num_feat, aligned_budget=aligned, fwd_mult=fwd_mult,
                      align=align, grad_mode=grad_mode,
-                     grad_precision=grad_precision, fwd_super=fwd_super,
-                     bwd_super=bwd_super)
+                     grad_precision=grad_precision)
 
 
 #: default reduction for the packing-gather backward: "segsum" (Pallas
@@ -199,23 +181,6 @@ if BWD_REDUCE not in ("segsum", "gather"):
     raise ValueError(
         f"LANGSPLAT_BWD_REDUCE must be 'segsum' or 'gather', got "
         f"{BWD_REDUCE!r} — a typo here would silently defeat an A/B comparison")
-
-#: default read-DMA batching factors (BlendSpec.fwd_super/bwd_super); A/B knobs.
-def _super_env(name):
-    try:
-        v = int(__import__("os").environ.get(name, 1))
-    except ValueError as e:
-        raise ValueError(
-            f"{name} must be an integer (read-DMA batching factor), got "
-            f"{__import__('os').environ.get(name)!r}") from e
-    if v not in (1, 2, 4):
-        raise ValueError(f"{name} must be 1, 2 or 4, got {v}")
-    return v
-
-
-FWD_SUPER = _super_env("LANGSPLAT_FWD_SUPER")
-BWD_SUPER = _super_env("LANGSPLAT_BWD_SUPER")
-
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _gather_attrs(budget: int, grad_rows: tuple, reduce_cfg: tuple,
@@ -655,21 +620,16 @@ def _fwd_kernel(spec: BlendSpec,
     # members iterate to the PAIR's max chunk count; a shorter member's excess
     # reads are clamped into the sacrificial aligned tail (contents masked by the
     # limit row anyway — the clamp only keeps the DMA in bounds)
-    sup = spec.fwd_super
-    swidth = fchunk * sup
-    nsup = (nmax + sup - 1) // sup if sup > 1 else nmax
-    read_cap = spec.aligned_budget - swidth
+    read_cap = spec.aligned_budget - fchunk
 
-    def copies(ks, slot):
-        # one read DMA per member per SUPER-chunk (sup compute chunks); the
-        # aligned tail guarantees live windows never clamp (see make_blend_spec)
+    def copies(k, slot):
         out = []
         for u in range(nmemb):
-            off = jnp.minimum(starts[u] + ks * swidth, read_cap)
+            off = jnp.minimum(starts[u] + k * fchunk, read_cap)
             off = pl.multiple_of(off, spec.align)
             out.append(pltpu.make_async_copy(
-                inst_ref.at[:, pl.ds(off, swidth)],
-                chunk_buf.at[slot, :, pl.ds(u * swidth, swidth)],
+                inst_ref.at[:, pl.ds(off, fchunk)],
+                chunk_buf.at[slot, :, pl.ds(u * fchunk, fchunk)],
                 dma_sems.at[slot, u]))
         return out
 
@@ -706,42 +666,29 @@ def _fwd_kernel(spec: BlendSpec,
                                           tfin_ref[u, :, :])
             t_ref[u, :, :] = jnp.where(term, 0.0, m_incl)
 
-    def body(ks, _):
+    def body(k, _):
         @pl.when(flag_ref[0] == 1)
         def _():
             alive = _alive_any(t_ref, nmemb)
-            slot = jax.lax.rem(ks, 2)
-            for c in copies(ks, slot):
+            slot = jax.lax.rem(k, 2)
+            for c in copies(k, slot):
                 c.wait()
-            do_issue = alive & (ks + 1 < nsup)
+            do_issue = alive & (k + 1 < nmax)
 
             @pl.when(do_issue)
             def _():
-                for c in copies(ks + 1, jax.lax.rem(ks + 1, 2)):
+                for c in copies(k + 1, jax.lax.rem(k + 1, 2)):
                     c.start()
 
             flag_ref[0] = jnp.where(do_issue, 1, 0)
 
-            for s in range(sup):          # python-unrolled sub-chunks
-                k = ks * sup + s if sup > 1 else ks
-                if sup == 1:
-                    data = chunk_buf[slot]
-                else:
-                    data = jnp.concatenate(
-                        [chunk_buf[slot, :,
-                                   u * swidth + s * fchunk:
-                                   u * swidth + (s + 1) * fchunk]
-                         for u in range(nmemb)], axis=1)
-                alive_s = _alive_any(t_ref, nmemb) if s else alive
-                live_k = alive_s & (k < nmax) if sup > 1 else alive_s
-
-                @pl.when(live_k)
-                def _(k=k, data=data):
-                    _fwd_chunk(k, data)
+            @pl.when(alive)
+            def _():
+                _fwd_chunk(k, chunk_buf[slot])
 
         return ()
 
-    jax.lax.fori_loop(0, nsup, body, ())
+    jax.lax.fori_loop(0, nmax, body, ())
     for u in range(nmemb):
         tv = t_ref[u, :, :]
         out_ref[u, :, ncol:ncol + 1] = jnp.where(tv > 0.0, tv, tfin_ref[u, :, :])
@@ -849,23 +796,19 @@ def _bwd_kernel(spec: BlendSpec,
     nmax = nchunk_l[0]
     for u in range(1, nmemb):
         nmax = jnp.maximum(nmax, nchunk_l[u])
-    sup = spec.bwd_super
-    swidth = cw * sup
-    nsup = (nmax + sup - 1) // sup if sup > 1 else nmax
-    # super-window read cap: the aligned tail is sized so this clamp can only
-    # engage for fully-dead windows (make_blend_spec tail term) — a clamped
-    # LIVE window would shift columns under the count mask and corrupt grads
-    read_cap = spec.aligned_budget - swidth
+    # read cap: the aligned tail is sized so this clamp can only engage for
+    # fully-dead chunks — a clamped LIVE read would shift columns under the
+    # count mask and corrupt grads
+    read_cap = spec.aligned_budget - cw
 
-    def in_copies(ks, slot):
-        # one read DMA per member per SUPER-chunk (sup compute chunks)
+    def in_copies(k, slot):
         out = []
         for u in range(nmemb):
-            off = jnp.minimum(starts[u] + ks * swidth, read_cap)
+            off = jnp.minimum(starts[u] + k * cw, read_cap)
             off = pl.multiple_of(off, spec.align)
             out.append(pltpu.make_async_copy(
-                inst_ref.at[:, pl.ds(off, swidth)],
-                chunk_buf.at[slot, :, pl.ds(u * swidth, swidth)],
+                inst_ref.at[:, pl.ds(off, cw)],
+                chunk_buf.at[slot, :, pl.ds(u * cw, cw)],
                 in_sems.at[slot, u]))
         return out
 
@@ -1057,46 +1000,29 @@ def _bwd_kernel(spec: BlendSpec,
             t_ref[u, :, :] = jnp.where(m_incl < TERM_EPS, 0.0, m_incl)
             prefix_ref[u, :, :] = prefix_ref[u, :, :] + pnew_l[u]
 
-    def body(ks, _):
+    def body(k, _):
         @pl.when(flag_ref[0] == 1)
         def _():
             alive = _alive_any(t_ref, nmemb)
-            slot = jax.lax.rem(ks, 2)
-            for c in in_copies(ks, slot):
+            slot = jax.lax.rem(k, 2)
+            for c in in_copies(k, slot):
                 c.wait()
-            do_issue = alive & (ks + 1 < nsup)
+            do_issue = alive & (k + 1 < nmax)
 
             @pl.when(do_issue)
             def _():
-                for c in in_copies(ks + 1, jax.lax.rem(ks + 1, 2)):
+                for c in in_copies(k + 1, jax.lax.rem(k + 1, 2)):
                     c.start()
 
             flag_ref[0] = jnp.where(do_issue, 1, 0)
 
-            for s in range(sup):          # python-unrolled sub-chunks
-                k = ks * sup + s if sup > 1 else ks
-                if sup == 1:
-                    data = chunk_buf[slot]
-                else:
-                    # gather member lane-blocks of sub-chunk s into the joint
-                    # [rows, jw] compute layout (cheap VMEM moves vs the MXU/
-                    # VPU work of the chunk body)
-                    data = jnp.concatenate(
-                        [chunk_buf[slot, :,
-                                   u * swidth + s * cw:u * swidth + (s + 1) * cw]
-                         for u in range(nmemb)], axis=1)
-                # t_ref advances per sub-chunk: re-evaluate liveness so a
-                # mid-super termination still skips the remaining bodies
-                alive_s = _alive_any(t_ref, nmemb) if s else alive
-                live_k = alive_s & (k < nmax) if sup > 1 else alive_s
-
-                @pl.when(live_k)
-                def _(k=k, data=data):
-                    _bwd_chunk(k, jax.lax.rem(k, 2), data)
+            @pl.when(alive)
+            def _():
+                _bwd_chunk(k, jax.lax.rem(k, 2), chunk_buf[slot])
 
         return ()
 
-    jax.lax.fori_loop(0, nsup, body, ())
+    jax.lax.fori_loop(0, nmax, body, ())
 
     # drain the last <=2 outstanding gradient write groups
     wn = wcount_ref[0]
@@ -1148,7 +1074,7 @@ def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
         out_specs=pl.BlockSpec((nmemb, spec.pixels, spec.out_channels),
                                lambda t, s: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, spec.rows, nmemb * spec.fwd_chunk * spec.fwd_super),
+            pltpu.VMEM((2, spec.rows, nmemb * spec.fwd_chunk),
                        jnp.float32),
             pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # t_carry (0 = done)
             pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # final-T latch
@@ -1192,7 +1118,7 @@ def _bwd_call(packed, aligned_start, g_out, residuals, spec: BlendSpec, interpre
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, spec.rows, nmemb * spec.chunk * spec.bwd_super),
+            pltpu.VMEM((2, spec.rows, nmemb * spec.chunk),
                        jnp.float32),                                      # in bufs
             pltpu.VMEM((2, spec.rows, nmemb * spec.chunk), jnp.float32),  # out bufs
             pltpu.VMEM((nmemb, spec.pixels, 1), jnp.float32),   # prefix carry
@@ -1266,13 +1192,11 @@ def rasterize_pallas(
     chunk: int = 128,
     interpret: bool = False,
     means2d_override: jnp.ndarray | None = None,
-    fwd_mult: int = 2,
+    fwd_mult: int = 1,
     align: int | None = None,
     grad_mode: str = "full",
     grad_precision: str = "exact",
     bwd_reduce: str | None = None,
-    fwd_super: int | None = None,
-    bwd_super: int | None = None,
 ) -> dict:
     """Full Pallas rasterization: pack -> blend -> assemble. Differentiable."""
     num_feat = 0 if features is None else features.shape[1]
@@ -1280,8 +1204,7 @@ def rasterize_pallas(
                            tile_size=tile_size, chunk=chunk, num_feat=num_feat,
                            budget=inst.gauss_id.shape[0], interpret=interpret,
                            fwd_mult=fwd_mult, align=align, grad_mode=grad_mode,
-                           grad_precision=grad_precision, fwd_super=fwd_super,
-                           bwd_super=bwd_super)
+                           grad_precision=grad_precision)
     packed, p_off = pack_instances(prep, opacities, features, inst, spec,
                                    means2d_override=means2d_override,
                                    interpret=interpret, bwd_reduce=bwd_reduce)

@@ -1,8 +1,7 @@
 #!/usr/bin/env python
 """Sequential kernel-knob A/B at full bench scale on an uncontended chip.
 
-Runs bench.py under a matrix of env configs (fwd_mult x fwd_super x bwd_super
-by default) and prints one result line per config plus a ranked summary.
+Runs bench.py under a matrix of env configs (the fwd_mult axis by default) and prints one result line per config plus a ranked summary.
 Refuses to start while a *live* quality-run RUNNING lock exists (same guard
 bench.py reports; stale locks from killed runs are ignored): an A/B on a
 contended chip ranks noise, not kernels.
@@ -20,18 +19,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 DEFAULT_CONFIGS = [
-    # name, env overrides
-    ("mult2-base", {}),
-    ("mult1", {"BENCH_FWD_MULT": "1"}),
-    ("mult2-fsup2", {"LANGSPLAT_FWD_SUPER": "2"}),
-    ("mult2-bsup2", {"LANGSPLAT_BWD_SUPER": "2"}),
-    ("mult2-bsup4", {"LANGSPLAT_BWD_SUPER": "4"}),
-    ("mult1-fsup2", {"BENCH_FWD_MULT": "1", "LANGSPLAT_FWD_SUPER": "2"}),
-    ("mult1-bsup2", {"BENCH_FWD_MULT": "1", "LANGSPLAT_BWD_SUPER": "2"}),
-    ("mult1-fsup2-bsup2", {"BENCH_FWD_MULT": "1", "LANGSPLAT_FWD_SUPER": "2",
-                           "LANGSPLAT_BWD_SUPER": "2"}),
-    ("mult1-fsup4-bsup4", {"BENCH_FWD_MULT": "1", "LANGSPLAT_FWD_SUPER": "4",
-                           "LANGSPLAT_BWD_SUPER": "4"}),
+    # name, env overrides — the fwd_mult axis is the one measured lever left
+    # after the r05 A/B retired the fwd/bwd_super read-DMA knobs (losers at
+    # bench scale; see docs/ROOFLINE.md round-5 notes)
+    ("mult1-base", {}),
+    ("mult2", {"BENCH_FWD_MULT": "2"}),
+    ("mult4", {"BENCH_FWD_MULT": "4"}),
 ]
 
 

@@ -308,50 +308,3 @@ def test_segsum_backward_matches_gather():
                                        atol=1e-6, rtol=1e-5)
 
 
-def test_read_super_matches_baseline():
-    """fwd_super/bwd_super batch the kernels' read DMAs (sup*chunk-wide
-    windows, chunk-wide compute) — values and every gradient must be bitwise
-    equal to the sup=1 kernels, including ragged tails (chunk counts not a
-    multiple of sup) and the feature grad_mode."""
-    w = h = 32
-    ts = 16
-    cam = make_camera(w=w, h=h)
-    means, scales, quats, colors, opac, feats = random_scene(60, seed=11, spread=1.0)
-    target = np.random.default_rng(2).uniform(size=(3, h, w)).astype(np.float32)
-    ftarget = np.random.default_rng(3).uniform(size=(3, h, w)).astype(np.float32)
-    bg = jnp.array([0.2, 0.5, 0.8])
-
-    def loss_fn(sup, grad_mode):
-        def f(means3d, scales_, opac_, colors_, feats_):
-            prep = projection.preprocess(
-                means3d, scales_, jnp.asarray(quats), None,
-                cam["viewmatrix"], cam["projmatrix"], cam["campos"],
-                image_height=h, image_width=w, tanfovx=cam["tanfovx"],
-                tanfovy=cam["tanfovy"], sh_degree=0, tile_size=ts,
-                colors_precomp=colors_)
-            inst = bin_gaussians(prep, grid_x=2, grid_y=2, budget=2048,
-                                 max_tiles_per_gaussian=16)
-            out = rasterize_pallas(prep, inst, opac_, feats_, bg,
-                                   image_height=h, image_width=w, tile_size=ts,
-                                   chunk=32, interpret=True, fwd_super=sup,
-                                   bwd_super=sup, grad_mode=grad_mode)
-            if grad_mode == "feature":
-                return jnp.mean((out["language_feature_image"] - ftarget) ** 2)
-            return (jnp.mean((out["render"] - target) ** 2)
-                    + jnp.mean((out["language_feature_image"] - ftarget) ** 2)
-                    + 0.1 * jnp.mean(out["final_transmittance"]))
-        return f
-
-    args = tuple(jnp.asarray(x) for x in (means, scales, opac, colors, feats))
-    for grad_mode in ("full", "feature"):
-        l1, g1 = jax.value_and_grad(loss_fn(1, grad_mode),
-                                    argnums=(0, 1, 2, 3, 4))(*args)
-        for sup in (2, 4):
-            ls, gs = jax.value_and_grad(loss_fn(sup, grad_mode),
-                                        argnums=(0, 1, 2, 3, 4))(*args)
-            assert float(ls) == float(l1), (grad_mode, sup)
-            for nm, a, b in zip(["means", "scales", "opac", "colors", "feats"],
-                                g1, gs):
-                np.testing.assert_array_equal(
-                    np.asarray(a), np.asarray(b),
-                    err_msg=f"bwd_super={sup} {grad_mode} grad mismatch: {nm}")
