@@ -219,14 +219,35 @@ def _gather_attrs_bwd(budget, grad_rows, reduce_cfg, res, g):
     rows, n1 = attrs_shape
     r0, rn = grad_rows            # static: only these cotangent rows are nonzero
     reduce_mode, interpret = reduce_cfg
+
     # permute-by-sort: real instances carry keys 0..total-1; zero-opacity padding
     # instances carry key=budget and alignment holes key=aligned, so positions
     # [total, budget) of the sorted result hold only all-zero gradient columns
     # (padding gradients vanish identically in the blend backward)
-    sorted_out = jax.lax.sort(
-        (poa,) + tuple(g[i] for i in range(r0, r0 + rn)),
-        num_keys=1, is_stable=False)
-    d_pre = jnp.stack(sorted_out[1:], axis=0)[:, :budget]  # [rn, budget] presort
+    def _presort(width):
+        so = jax.lax.sort(
+            (poa[:width],) + tuple(g[i][:width] for i in range(r0, r0 + rn)),
+            num_keys=1, is_stable=False)
+        return jnp.stack(so[1:], axis=0)[:, :budget]   # [rn, budget] presort
+
+    a_len = poa.shape[0]
+    cut = (1 << ((a_len - 1).bit_length() - 1)) if a_len > 1 else 0
+    if cut >= budget:              # largest power of two < a_len
+        # TPU sort cost jumps past each power-of-two column count (v5e, 13 rows:
+        # 2^21 cols 9.9 ms vs aligned ~2.19M cols 15.2 ms — micro_sort_scaling).
+        # The aligned capacity exceeds 2^21 only through WORST-CASE per-tile
+        # alignment padding; the real live extent p_off[-1] almost always fits
+        # below `cut`, in which case every tail column is a hole/padding
+        # (key >= budget, identically-zero gradients) and sorting only the first
+        # `cut` columns yields the bitwise-identical multiset of live columns.
+        # The O(tail) min-reduction proves it; the rare overflow case falls back
+        # to the full-width sort inside the cond.
+        tail_dead = jnp.min(poa[cut:]) >= budget
+        d_pre = jax.lax.cond(tail_dead,
+                             lambda _: _presort(cut),
+                             lambda _: _presort(a_len), None)
+    else:
+        d_pre = _presort(a_len)
     ends = jnp.clip(gauss_offsets, 0, budget)
     if reduce_mode == "segsum":
         from langsplat_tpu.ops.segsum_pallas import segment_sum_bounded
@@ -598,13 +619,18 @@ def _fwd_kernel(spec: BlendSpec,
 
     starts, counts, nchunk_l, px_l, py_l = [], [], [], [], []
     for u in range(nmemb):
-        t = pid * nmemb + u
-        starts.append(start_ref[t])
-        # start_ref holds [aligned starts (NT'+1) | true counts (NT')]: iterating
+        s = pid * nmemb + u
+        # start_ref holds [aligned starts (NT'+1) | true counts (NT') | tile ids
+        # (NT')]: slot s may be a count-sorted permutation of the tile order (see
+        # _build_sched) so that members of one grid step have similar chunk
+        # counts — the group iterates to its MAX member count, so straggler
+        # members otherwise waste whole masked chunks. Iterating
         # ceil(count/chunk) skips alignment padding entirely; the final partial
         # chunk may read past this tile's range (alignment is finer than the
         # chunk), so out-of-range lanes are alpha-masked via the limit row.
-        counts.append(start_ref[spec.padded_tiles(nmemb) + 1 + t])
+        t = start_ref[2 * spec.padded_tiles(nmemb) + 1 + s]
+        starts.append(start_ref[s])
+        counts.append(start_ref[spec.padded_tiles(nmemb) + 1 + s])
         nchunk_l.append((counts[u] + fchunk - 1) // fchunk)
         px, py = _pixel_coords(t, spec, f32)
         px_l.append(px)
@@ -751,9 +777,11 @@ def _bwd_kernel(spec: BlendSpec,
     starts, counts, nchunk_l, px_l, py_l = [], [], [], [], []
     gb_l, gf_l, tail_l, total_l, pb_l, cx_l, cy_l = [], [], [], [], [], [], []
     for u in range(nmemb):
-        t = pid * nmemb + u
-        starts.append(start_ref[t])
-        counts.append(start_ref[spec.padded_tiles(nmemb) + 1 + t])
+        s = pid * nmemb + u
+        # slot -> tile id indirection (count-sorted grouping; see _fwd_kernel)
+        t = start_ref[2 * spec.padded_tiles(nmemb) + 1 + s]
+        starts.append(start_ref[s])
+        counts.append(start_ref[spec.padded_tiles(nmemb) + 1 + s])
         nchunk_l.append((counts[u] + cw - 1) // cw)
         px, py = _pixel_coords(t, spec, f32)
         px_l.append(px)
@@ -1038,18 +1066,48 @@ def _bwd_kernel(spec: BlendSpec,
             c.wait()
 
 
-def _pad_sched(aligned_start, spec: BlendSpec, nmemb: int):
-    """[starts (NT+1) | counts (NT)] -> padded [starts (NT'+1) | counts (NT')]."""
+#: group tiles of similar instance count into each lane-fused grid step (the
+#: group iterates to its MAX member chunk count, so unsorted grouping wastes
+#: whole masked chunks on straggler members). Exact: masked excess chunks are
+#: arithmetic no-ops, so the permutation leaves outputs bitwise identical.
+#: Default OFF: on the spatially-uniform bench scene the waste is only 5.5% of
+#: chunk iterations and the tile-axis permute gathers (output un-permute +
+#: g_out/residual permutes, ~31 MB) cost MORE than they save (fwd 11.0 ->
+#: 13.1 ms, bwd ~flat, measured v5e r05). Worth enabling for real trained
+#: scenes where center tiles are ~10x denser than edge tiles.
+GROUP_SORT = __import__("os").environ.get("LANGSPLAT_GROUP_SORT", "0") != "0"
+
+
+def _build_sched(aligned_start, spec: BlendSpec, nmemb: int):
+    """[starts (NT+1) | counts (NT)] -> kernel schedule
+    [starts (NT') | total | counts (NT') | tile ids (NT')].
+
+    Returns (sched, order, inv): ``order[s]`` is the tile processed at kernel
+    slot ``s`` and ``inv[t]`` the slot of tile ``t`` (both identity when no
+    permutation applies). With lane fusion (nmemb > 1) tiles are sorted by
+    instance count so each grid step's members have near-equal chunk counts;
+    virtual padding tiles (count 0) sort to the end. The tiny NT'-sized sort
+    runs identically in the fwd and bwd wrappers (same inputs, stable sort)."""
     nt = spec.num_tiles
     ntp = spec.padded_tiles(nmemb)
-    if ntp == nt:
-        return aligned_start
     starts = aligned_start[:nt + 1]
     counts = aligned_start[nt + 1:]
     pad = ntp - nt
-    starts = jnp.concatenate([starts, jnp.repeat(starts[-1:], pad)])
-    counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
-    return jnp.concatenate([starts, counts])
+    starts_t = starts[:nt]
+    total = starts[nt:nt + 1]
+    if pad:
+        starts_t = jnp.concatenate([starts_t, jnp.zeros((pad,), starts.dtype)])
+        counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
+    iota = jnp.arange(ntp, dtype=jnp.int32)
+    if nmemb > 1 and GROUP_SORT:
+        _, order = jax.lax.sort((-counts, iota), num_keys=1, is_stable=True)
+        starts_t = starts_t[order]
+        counts = counts[order]
+        inv = jnp.zeros((ntp,), jnp.int32).at[order].set(iota)
+    else:
+        order = iota
+        inv = iota
+    return jnp.concatenate([starts_t, total, counts, order]), order, inv
 
 
 # Tiles lane-fused per grid step (see the kernel section header): joint vector
@@ -1066,7 +1124,7 @@ except ValueError as _e:
 def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
     nmemb = NMEMB if spec.num_tiles >= NMEMB else 1
     ntp = spec.padded_tiles(nmemb)
-    sched = _pad_sched(aligned_start, spec, nmemb)
+    sched, _, inv = _build_sched(aligned_start, spec, nmemb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntp // nmemb,),
@@ -1089,6 +1147,9 @@ def _fwd_call(packed, aligned_start, spec: BlendSpec, interpret: bool):
         grid_spec=grid_spec,
         interpret=interpret,
     )(sched, packed)
+    if nmemb > 1 and GROUP_SORT:
+        out = jnp.take(out, inv[:spec.num_tiles], axis=0)  # undo count grouping
+        return out
     return out[:spec.num_tiles]
 
 
@@ -1098,13 +1159,17 @@ def _bwd_call(packed, aligned_start, g_out, residuals, spec: BlendSpec, interpre
     # cannot touch each other's slots
     nmemb = NMEMB if (spec.chunk == spec.align and spec.num_tiles >= NMEMB) else 1
     ntp = spec.padded_tiles(nmemb)
-    sched = _pad_sched(aligned_start, spec, nmemb)
+    sched, order, _ = _build_sched(aligned_start, spec, nmemb)
     if ntp != spec.num_tiles:
         pad = ntp - spec.num_tiles
         g_out = jnp.concatenate(
             [g_out, jnp.zeros((pad,) + g_out.shape[1:], g_out.dtype)])
         residuals = jnp.concatenate(
             [residuals, jnp.zeros((pad,) + residuals.shape[1:], residuals.dtype)])
+    if nmemb > 1 and GROUP_SORT:
+        # per-tile inputs follow the count-grouped slot order of the schedule
+        g_out = jnp.take(g_out, order, axis=0)
+        residuals = jnp.take(residuals, order, axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntp // nmemb,),

@@ -311,18 +311,35 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
         # much smaller than the instance sort), so the instance sort needs just one
         # 32-bit [tile | rank] key
         # stable: equal depths tie-break by Gaussian index, matching the dense oracle
-        # (and the CUDA radix sort) so blend order is deterministic under ties
+        # (and the CUDA radix sort) so blend order is deterministic under ties.
+        # rank = inverse permutation of by_depth, via a SECOND 2-row sort rather
+        # than rank.at[by_depth].set(iota): a 1M random scatter-set costs ~6.5 ns
+        # per index on v5e while the equivalent sort runs ~2x faster
+        # (scripts/micro_binning.py: rank_scatter 7.3 ms vs rank_sort 3.25 ms)
+        iota = jnp.arange(n, dtype=jnp.int32)
         depth_keys = jnp.where(prep.visible, prep.depths, jnp.inf)
-        _, by_depth = jax.lax.sort((depth_keys, jnp.arange(n, dtype=jnp.int32)),
-                                   num_keys=1, is_stable=True)
-        rank = jnp.zeros((n,), jnp.int32).at[by_depth].set(
-            jnp.arange(n, dtype=jnp.int32))
+        _, by_depth = jax.lax.sort((depth_keys, iota), num_keys=1, is_stable=True)
+        _, rank = jax.lax.sort((by_depth, iota), num_keys=1, is_stable=False)
     else:
         rank = jnp.zeros((n,), jnp.int32)
 
     seg = jnp.arange(1, n + 1, dtype=jnp.int32)
-    rows = [seg, offsets, jnp.maximum(w, 1),
-            prep.tiles_min[:, 0], prep.tiles_min[:, 1], rank]
+    # the propagate's cost is dominated by its budget-sized random gather, which
+    # pays per gathered ELEMENT (rows x indices), so the three small geometry
+    # fields (rect corner + width) ride in ONE bit-packed row when they fit i32
+    bx = grid_x.bit_length()   # tiles_min clips to [0, grid] INCLUSIVE
+    by = grid_y.bit_length()
+    bw = grid_x.bit_length()   # w = max(tiles_max - tiles_min, 1) <= grid_x
+    geom_packed = bx + by + bw <= 31
+    wclip = jnp.maximum(w, 1)
+    if geom_packed:
+        geom = (prep.tiles_min[:, 0] | (prep.tiles_min[:, 1] << bx)
+                | (wclip << (bx + by)))
+        rows = [seg, offsets, geom, rank]
+    else:
+        rows = [seg, offsets, wclip,
+                prep.tiles_min[:, 0], prep.tiles_min[:, 1], rank]
+    nbase = len(rows)
     if culling:
         rows.extend(jax.lax.bitcast_convert_type(mask[:, wd], jnp.int32)
                     for wd in range(mask_words))
@@ -334,13 +351,20 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
     if culling:
         # j-th set bit of the pass mask = this slot's rect position
         j = _select_bit_words(
-            [jax.lax.bitcast_convert_type(acc[6 + wd], jnp.uint32)
+            [jax.lax.bitcast_convert_type(acc[nbase + wd], jnp.uint32)
              for wd in range(mask_words)],
             jnp.maximum(slot - acc[1], 0))
     else:
         j = slot - acc[1]
-    tx = acc[3] + j % acc[2]
-    ty = acc[4] + j // acc[2]
+    if geom_packed:
+        a_minx = acc[2] & ((1 << bx) - 1)
+        a_miny = (acc[2] >> bx) & ((1 << by) - 1)
+        a_w = acc[2] >> (bx + by)
+        rank_prop = acc[3]
+    else:
+        a_w, a_minx, a_miny, rank_prop = acc[2], acc[3], acc[4], acc[5]
+    tx = a_minx + j % a_w
+    ty = a_miny + j // a_w
     tile_of_slot = jnp.where(in_range, ty * grid_x + tx, num_tiles)
     vals_gid = jnp.where(in_range, g, n)
 
@@ -354,7 +378,7 @@ def bin_gaussians(prep: PreprocessOut, *, grid_x: int, grid_y: int, budget: int,
         # lax.sort is cheap on TPU, while recomputing them from the sorted key would
         # need budget-sized random gathers. Keys are unique (one rank per Gaussian,
         # one tile per instance) so the sort may be unstable.
-        fused = (tile_of_slot.astype(jnp.uint32) << rank_bits) | acc[5].astype(
+        fused = (tile_of_slot.astype(jnp.uint32) << rank_bits) | rank_prop.astype(
             jnp.uint32)
         pad_key = jnp.uint32(num_tiles) << rank_bits
         fused = jnp.where(in_range, fused, pad_key)

@@ -72,6 +72,10 @@ def main():
     ts = int(os.environ.get("PROF_TS", 16))
     chunk = int(os.environ.get("PROF_CHUNK", 128))
     fwd_mult = int(os.environ.get("PROF_FWD_MULT", 1))
+    # PROF_ALIGN=256 with PROF_CHUNK=256 keeps the bwd kernel lane-fused
+    # (fusion requires chunk == align); costs more alignment padding
+    align = int(os.environ["PROF_ALIGN"]) if "PROF_ALIGN" in os.environ else None
+    only_kernel = bool(os.environ.get("PROF_ONLY_KERNEL"))
     budget_factor = os.environ.get("PROF_BUDGET_FACTOR")  # None => adaptive like bench
     budget = int(float(budget_factor) * n) if budget_factor else None
     fov = 0.9
@@ -115,7 +119,7 @@ def main():
     grad_mode = os.environ.get("PROF_GRAD_MODE", "full")
     spec = make_blend_spec(image_height=h, image_width=w, tile_size=ts, chunk=chunk,
                            num_feat=3, budget=budget, fwd_mult=fwd_mult,
-                           grad_mode=grad_mode)
+                           grad_mode=grad_mode, align=align)
 
     @jax.jit
     def stage_prep(m, s, q, c):
@@ -184,6 +188,19 @@ def main():
     packed_const, p_off_const = jax.jit(stage_pack)(*args6)
     p_off_const = jnp.concatenate(
         [p_off_const, inst.tile_start[1:] - inst.tile_start[:-1]])
+    if only_kernel:
+        # fast A/B loop for kernel-shape knobs: time only the pallas fwd and the
+        # kernel fwd+bwd on a fixed packed buffer (skips prep/bin/pack chains)
+        @jax.jit
+        def stage_kernel_fwd(packed, sched):
+            return blend_tiles(packed, sched, spec, False)
+
+        t_kfwd = timeit(stage_kernel_fwd, packed_const, p_off_const, steps=steps)
+        t_kbwd = timeit(stage_kernel_bwd, packed_const, p_off_const, steps=steps)
+        print(f"kernel fwd alone        {t_kfwd:8.2f} ms")
+        print(f"kernel fwd+bwd alone    {t_kbwd:8.2f} ms  (kernel bwd ~{t_kbwd - t_kfwd:.2f})")
+        return
+
     t_prep = timeit(stage_prep, *args4, steps=steps)
     t_bin = timeit(stage_bin, *args4, steps=steps)
     t_pack = timeit(stage_pack, *args6, steps=steps)

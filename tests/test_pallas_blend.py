@@ -308,3 +308,72 @@ def test_segsum_backward_matches_gather():
                                        atol=1e-6, rtol=1e-5)
 
 
+
+
+def test_sort_cut_fallback_when_tail_live():
+    """The pack-backward presort sorts only the leading power-of-two columns when
+    a runtime check proves every tail column is padding (rasterize_pallas.
+    _gather_attrs_bwd); when per-tile alignment padding pushes live columns past
+    the cut, the cond's fallback must sort the full width. This scene is tuned so
+    p_off[-1] > cut >= budget (fallback branch), and gradients must still match
+    the dense oracle exactly."""
+    from langsplat_tpu.ops.rasterize_pallas import make_blend_spec, pack_instances
+
+    w = h = 48
+    ts = 16
+    cam = make_camera(w=w, h=h)
+    # spread gaussians so all 9 tiles get instances; small budget + align=32
+    # padding inflates p_off[-1] past the pow2 cut
+    means, scales, quats, colors, opac, feats = random_scene(40, seed=11, spread=2.6)
+    budget = 128
+
+    def common(means3d, scales_, opac_, colors_, feats_):
+        return projection.preprocess(
+            means3d, scales_, jnp.asarray(quats), None,
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+            image_height=h, image_width=w, tanfovx=cam["tanfovx"],
+            tanfovy=cam["tanfovy"], sh_degree=0, tile_size=ts,
+            colors_precomp=colors_)
+
+    args = tuple(jnp.asarray(x) for x in (means, scales, opac, colors, feats))
+    prep0 = common(*args)
+    inst0 = bin_gaussians(prep0, grid_x=3, grid_y=3, budget=budget,
+                          max_tiles_per_gaussian=16)
+    assert int(inst0.dropped) == 0
+    spec = make_blend_spec(image_height=h, image_width=w, tile_size=ts, chunk=32,
+                           num_feat=3, budget=budget, interpret=True)
+    _, p_off = pack_instances(prep0, args[2], args[4], inst0, spec, interpret=True)
+    cut = 1 << ((spec.aligned_budget - 1).bit_length() - 1)
+    assert cut >= budget, "scene must make the split path statically eligible"
+    assert int(p_off[-1]) > cut, (
+        f"scene must push live columns past the cut to hit the fallback "
+        f"(p_off[-1]={int(p_off[-1])}, cut={cut})")
+
+    target = np.random.default_rng(0).uniform(size=(3, h, w)).astype(np.float32)
+    bg = jnp.array([0.2, 0.5, 0.8])
+
+    def loss_from(out):
+        return (jnp.mean((out["render"] - target) ** 2)
+                + jnp.mean(out["language_feature_image"] ** 2))
+
+    def loss_dense(*a):
+        prep = common(*a)
+        out = rasterize_dense(prep, a[2], a[4], bg,
+                              image_height=h, image_width=w, tile_size=ts)
+        return loss_from(out)
+
+    def loss_pallas(*a):
+        prep = common(*a)
+        inst = bin_gaussians(prep, grid_x=3, grid_y=3, budget=budget,
+                             max_tiles_per_gaussian=16)
+        out = rasterize_pallas(prep, inst, a[2], a[4], bg,
+                               image_height=h, image_width=w, tile_size=ts,
+                               chunk=32, interpret=True)
+        return loss_from(out)
+
+    ld, gd = jax.value_and_grad(loss_dense, argnums=(0, 1, 2, 3, 4))(*args)
+    lp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_allclose(float(lp), float(ld), rtol=1e-5)
+    for nm, a, b in zip(["means", "scales", "opac", "colors", "feats"], gd, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5,
+                                   err_msg=f"grad mismatch: {nm}")
